@@ -90,19 +90,32 @@ def _apply_so2(rotors, x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     return y.reshape(B, H, T, C)
 
 
+def _view_counts(reps: GeomReps) -> Tuple[Optional[int], Optional[int]]:
+    """Static query/key view counts from rep table shapes (trace-time)."""
+    nq = nk = None
+    if reps.se3_q is not None:
+        nq = reps.se3_q.shape[1]
+    elif reps.so3_q is not None:
+        nq = reps.so3_q[0].shape[1]
+    if reps.se3_k is not None:
+        nk = reps.se3_k.shape[1]
+    elif reps.so3_k is not None:
+        nk = reps.so3_k[0].shape[1]
+    return nq, nk
+
+
 def gta_transform_qkv(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     reps: GeomReps,
     args: GTAArgs,
-    nq_views: int,
-    nk_views: int,
     trans_coeff: Optional[jnp.ndarray],
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Apply group reps to (q, k, v) slices. Shapes [B, H, T, C]."""
     fd = args.f_dims
     v_transform = args.v_transform
+    nq_views, nk_views = _view_counts(reps)
     qs, ks, vs = [], [], []
 
     for name, st, ed in fd.slices():
@@ -157,11 +170,11 @@ def gta_untransform_out(
     out: jnp.ndarray,
     reps: GeomReps,
     args: GTAArgs,
-    nq_views: int,
     trans_coeff: Optional[jnp.ndarray],
 ) -> jnp.ndarray:
     """Apply the inverse query rep to the attention output (v_transform only)."""
     fd = args.f_dims
+    nq_views, _ = _view_counts(reps)
     outs = []
     for name, st, ed in fd.slices():
         o = out[..., st:ed]
@@ -197,22 +210,21 @@ def gta_attention(
     attn_fn: AttnFn,
     reps: GeomReps,
     args: GTAArgs,
-    nq_views: int,
-    nk_views: int,
     trans_coeff: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full GTA attention: transform -> attend -> untransform.
 
     q: [B, H, Tq, C], k/v: [B, H, Tk, C] with C == args.f_dims.total.
+    View counts are inferred from the rep-table shapes at trace time.
     attn_fn(qt, kt, vt) -> (out, attn).
     """
     assert q.shape[-1] == args.f_dims.total, (
         f"head dim {q.shape[-1]} != f_dims total {args.f_dims.total}"
     )
-    qt, kt, vt = gta_transform_qkv(q, k, v, reps, args, nq_views, nk_views, trans_coeff)
+    qt, kt, vt = gta_transform_qkv(q, k, v, reps, args, trans_coeff)
     out, attn = attn_fn(qt, kt, vt)
     if args.v_transform:
-        out = gta_untransform_out(out, reps, args, nq_views, trans_coeff)
+        out = gta_untransform_out(out, reps, args, trans_coeff)
     return out, attn
 
 

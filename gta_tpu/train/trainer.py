@@ -1,0 +1,187 @@
+"""jit-compiled training/eval runtime (reference trainer.py analogue).
+
+One fused train step: loss (pixel MSE, fp32) -> grad -> AdamW update, all
+inside a single jit with donated state. Data parallelism comes from
+sharding annotations (parallel/mesh.py) — XLA inserts the gradient
+all-reduce. Mixed precision is a compute-dtype policy (params fp32,
+matmuls bf16) instead of autocast.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from gta_tpu.config import Config
+from gta_tpu.geometry.coords import make_2dcoord
+from gta_tpu.models.context import SceneBatch
+from gta_tpu.models.srt import build_model
+from gta_tpu.train.schedule import warmup_exp_decay
+from gta_tpu.utils.metrics import mse2psnr
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+class Trainer:
+    """Owns the model, optimizer, and compiled step functions."""
+
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        t = cfg.training
+        self.dtype = jnp.bfloat16 if t.mixed_prec else jnp.float32
+        self.model = build_model(cfg.model, dtype=self.dtype)
+        self.schedule = warmup_exp_decay(t.lr, t.lr_warmup, t.decay_it, t.decay_rate)
+        if t.noadamW:
+            self.tx = optax.adam(self.schedule)
+        else:
+            self.tx = optax.adamw(self.schedule, weight_decay=t.weight_decay)
+        self.mesh = mesh
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._encode = jax.jit(
+            lambda params, batch: self.model.apply(
+                params, batch, deterministic=True, method=self.model.encode
+            )
+        )
+        self._decode_chunk = jax.jit(self._decode_chunk_impl)
+
+    # ------------------------------------------------------------------
+    def init_state(self, batch: SceneBatch, seed: int = 0) -> TrainState:
+        params = self.model.init(jax.random.PRNGKey(seed), batch, deterministic=True)
+        opt_state = self.tx.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+
+    def param_counts(self, state: TrainState) -> Dict[str, int]:
+        def count(tree):
+            return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+        p = state.params["params"]
+        return {
+            "encoder": count(p.get("encoder", {})),
+            "decoder": count(p.get("decoder", {})),
+            "total": count(p),
+        }
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, batch: SceneBatch, rng):
+        pred, _ = self.model.apply(
+            params, batch, deterministic=False, rngs={"dropout": rng}
+        )
+        target = batch.target_pixels.reshape(batch.target_pixels.shape[0], -1, 3)
+        pred = pred.astype(jnp.float32)
+        # per-item MSE over views+points, then batch mean (trainer.py:119-121)
+        mse = jnp.mean((pred - target) ** 2, axis=(1, 2))
+        return jnp.mean(mse), mse
+
+    def _train_step_impl(self, state: TrainState, batch: SceneBatch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, mse), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "mse": jnp.mean(mse),
+            "lr": self.schedule(state.step),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    def train_step(self, state: TrainState, batch: SceneBatch, rng) -> Tuple[TrainState, Dict]:
+        return self._train_step(state, batch, rng)
+
+    # ------------------------------------------------------------------
+    def _eval_step_impl(self, params, batch: SceneBatch):
+        pred, _ = self.model.apply(params, batch, deterministic=True)
+        target = batch.target_pixels.reshape(batch.target_pixels.shape[0], -1, 3)
+        mse = jnp.mean((pred.astype(jnp.float32) - target) ** 2, axis=(1, 2))
+        return {"mse": mse, "psnr": mse2psnr(mse)}
+
+    def eval_step(self, params, batch: SceneBatch) -> Dict[str, jnp.ndarray]:
+        return self._eval_step(params, batch)
+
+    def evaluate(self, params, batches) -> Dict[str, float]:
+        """Aggregate eval over an iterable of SceneBatch (single-host)."""
+        acc: Dict[str, list] = {}
+        for batch in batches:
+            out = self.eval_step(params, batch)
+            for k, v in out.items():
+                acc.setdefault(k, []).append(np.asarray(v))
+        return {k: float(np.mean(np.concatenate(v))) for k, v in acc.items()}
+
+    # ------------------------------------------------------------------
+    def _decode_chunk_impl(self, params, z, enc_geom_batch: SceneBatch):
+        pixels, _ = self.model.apply(
+            params,
+            z,
+            enc_geom_batch,
+            None,
+            True,
+            method=self.model.decode,
+        )
+        return pixels
+
+    def render_image(
+        self,
+        params,
+        batch: SceneBatch,
+        height: int,
+        width: int,
+        target_transform: Optional[jnp.ndarray] = None,
+        chunk: int = 4096,
+    ) -> np.ndarray:
+        """Full-frame render: encode once, decode rays in fixed-size chunks
+        (static shapes => one compile), reference trainer.py:137-181.
+
+        target_transform: [B, 4, 4] relative camera for the novel view;
+        defaults to the canonical (identity) frame.
+        """
+        (z, _enc_ctx) = self._encode(params, batch)
+        B = batch.input_images.shape[0]
+        coord = np.broadcast_to(
+            make_2dcoord(height, width).reshape(1, -1, 2), (B, height * width, 2)
+        )
+        rays = np.asarray(batch.input_rays[:, 0]).reshape(B, -1, 3)
+        cam = np.broadcast_to(
+            np.asarray(batch.input_camera_pos[:, 0])[:, None], (B, height * width, 3)
+        )
+        if target_transform is None:
+            target_transform = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4))
+
+        n = height * width
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        pad = n_pad - n
+
+        def pad_to(x):
+            return np.concatenate([x, np.repeat(x[:, -1:], pad, 1)], 1) if pad else x
+
+        coord, rays, cam = pad_to(coord), pad_to(rays), pad_to(cam)
+        out = np.zeros((B, n_pad, 3), np.float32)
+        for i in range(0, n_pad, chunk):
+            sub = SceneBatch(
+                input_images=batch.input_images,
+                input_camera_pos=batch.input_camera_pos,
+                input_rays=batch.input_rays,
+                target_pixels=jnp.zeros((B, 1, chunk, 3)),
+                target_camera_pos=jnp.asarray(cam[:, None, i : i + chunk]),
+                target_rays=jnp.asarray(rays[:, None, i : i + chunk]),
+                input_transforms=batch.input_transforms,
+                target_transforms=jnp.asarray(target_transform)[:, None],
+                input_coord=batch.input_coord,
+                target_coord=jnp.asarray(coord[:, None, i : i + chunk]),
+            )
+            out[:, i : i + chunk] = np.asarray(self._decode_chunk(params, z, sub))
+        return out[:, :n].reshape(B, height, width, 3)

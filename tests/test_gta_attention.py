@@ -44,7 +44,7 @@ def _run(args, coord, transforms, rays, q, k, v, trans_coeff=0.01, euclid=False)
         euclid_attention if euclid else dot_product_attention, scale=1.0
     )
     out, attn = gta_attention(
-        q, k, v, attn_fn, reps, args, NV, NV, jnp.asarray(trans_coeff)
+        q, k, v, attn_fn, reps, args, jnp.asarray(trans_coeff)
     )
     return np.asarray(out), np.asarray(attn)
 
@@ -177,7 +177,7 @@ def test_cross_attention_invariance(rng):
             enc=enc,
         )
         attn_fn = functools.partial(dot_product_attention, scale=1.0)
-        out, attn = gta_attention(q, k, v, attn_fn, dec, args, NQ, NV, jnp.asarray(0.01))
+        out, attn = gta_attention(q, k, v, attn_fn, dec, args, jnp.asarray(0.01))
         return np.asarray(out), np.asarray(attn)
 
     out0, attn0 = run(t_transforms, transforms)
