@@ -1,0 +1,85 @@
+"""Benchmark: flagship GTA training-step throughput in target rays/second.
+
+Runs the full-size CLEVR-TR GTA model (runs/clevrtr/GTA/gta/config.yaml:
+attdim 384, 6 heads, 5+2 attention blocks, f_dims {se3:32, so2:32}) on
+synthetic scenes at CLEVR-TR shapes (2 input views of 120x160, 2560 target
+rays, global batch 32) and times the fused jit train step on the local
+accelerator — the protocol analogue of the reference's --speed_test harness
+(reference train.py:66,350-368), reported as rays/s instead of ms/iter.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+vs_baseline divides by an *estimated* PyTorch A100 reference throughput:
+the reference repo publishes no speed numbers (BASELINE.md), so we anchor
+on ~10 train iters/s for per-GPU batch 8 x 2560 rays = ~205k rays/s —
+an optimistic A100 estimate; the >=3x target from BASELINE.md corresponds
+to vs_baseline >= 3.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gta_tpu.config import load_config
+from gta_tpu.data.synthetic import SyntheticScenes, collate
+from gta_tpu.train.trainer import Trainer
+
+ESTIMATED_A100_RAYS_PER_SEC = 205_000.0
+BATCH = 32
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    cfg = load_config("/root/repo/runs/clevrtr/GTA/gta/config.yaml")
+    data = dataclasses.replace(
+        cfg.data, dataset="synthetic", height=120, width=160, downsample=0
+    )
+    training = dataclasses.replace(cfg.training, batch_size=BATCH)
+    cfg = dataclasses.replace(cfg, data=data, training=training)
+
+    ds = SyntheticScenes(cfg.data, "train", num_scenes=BATCH)
+    batch = jax.tree.map(jnp.asarray, collate([ds[i] for i in range(BATCH)]))
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state(batch)
+    rng = jax.random.PRNGKey(0)
+
+    for _ in range(WARMUP):
+        state, metrics = trainer.train_step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        state, metrics = trainer.train_step(state, batch, rng)
+        jax.block_until_ready(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+
+    step = float(np.median(times))
+    rays_per_sec = BATCH * cfg.data.num_points / step
+    print(
+        json.dumps(
+            {
+                "metric": "gta_clevrtr_train_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / ESTIMATED_A100_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+    print(
+        f"# device={jax.devices()[0].device_kind} step={step*1e3:.1f}ms "
+        f"batch={BATCH} rays/step={BATCH * cfg.data.num_points}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

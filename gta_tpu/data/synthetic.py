@@ -183,6 +183,7 @@ def collate(items) -> SceneBatch:
         "target_transforms",
         "input_coord",
         "target_coord",
+        "transform",
         "sceneid",
     ]
     stacked = {k: np.stack([it[k] for it in items]) for k in keys if k in items[0]}

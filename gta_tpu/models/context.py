@@ -31,6 +31,7 @@ class SceneBatch:
     target_transforms: Optional[jnp.ndarray] = None  # [B, Nt, 4, 4]
     input_coord: Optional[jnp.ndarray] = None  # [B, N, T', 2]
     target_coord: Optional[jnp.ndarray] = None  # [B, Nt, P, 2]
+    transform: Optional[jnp.ndarray] = None  # [B, 4, 4] canonical extrinsic
     sceneid: Optional[jnp.ndarray] = None  # [B]
 
 

@@ -185,3 +185,35 @@ class Trainer:
             )
             out[:, i : i + chunk] = np.asarray(self._decode_chunk(params, z, sub))
         return out[:, :n].reshape(B, height, width, 3)
+
+    def visualize(self, params, batch: SceneBatch, out_path: str, num_angles: int = 6):
+        """Render `num_angles` novel views rotated about the world z-axis into
+        an image grid (reference trainer.py:184-295). Rotation is conjugated
+        into the canonical frame: T_rel = E_canon R_z(theta) E_canon^-1."""
+        from gta_tpu.utils.visualize import draw_visualization_grid
+
+        B, N, H, W = batch.input_rays.shape[:4]
+        columns = [
+            (f"input {i + 1}", np.asarray(batch.input_images[:, i])) for i in range(N)
+        ]
+        canon = np.asarray(batch.transform) if batch.transform is not None else None
+        for i in range(num_angles):
+            angle = i * (2 * np.pi / num_angles)
+            Rz = np.asarray(
+                [
+                    [np.cos(angle), -np.sin(angle), 0, 0],
+                    [np.sin(angle), np.cos(angle), 0, 0],
+                    [0, 0, 1, 0],
+                    [0, 0, 0, 1],
+                ],
+                dtype=np.float32,
+            )
+            if canon is not None:
+                rel = np.einsum("bij,jk,bkl->bil", canon, Rz, np.linalg.inv(canon))
+            else:
+                rel = np.broadcast_to(Rz, (B, 4, 4))
+            img = self.render_image(
+                params, batch, H, W, target_transform=rel.astype(np.float32)
+            )
+            columns.append((f"render {(i * 360) // num_angles}°", img))
+        draw_visualization_grid(columns, out_path)

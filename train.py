@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Training entry point (reference train.py CLI surface, TPU-native runtime).
+
+Usage: python train.py <config.yaml> <datapath> [flags]
+
+Single-controller JAX: one process per host; devices on this host form (or
+join) the data-parallel mesh. Multi-host runs call
+jax.distributed.initialize() when the standard cluster env vars are set.
+"""
+
+import argparse
+import dataclasses
+import datetime
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train a NVS model (TPU-native GTA)")
+    parser.add_argument("config", type=str, help="Path to config file")
+    parser.add_argument("datapath", type=str, nargs="?", default=None, help="Dataset dir")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--outdir", type=str, default=None)
+    parser.add_argument("--exit-after", type=int, default=None)
+    parser.add_argument("--test", action="store_true", help="eval on test split")
+    parser.add_argument("--evalnow", action="store_true")
+    parser.add_argument("--visnow", action="store_true")
+    parser.add_argument("--max-eval", type=int, default=None)
+    parser.add_argument("--full-scale", action="store_true")
+    parser.add_argument("--print-model", action="store_true")
+    parser.add_argument("--synthetic", action="store_true", help="use synthetic scenes")
+    parser.add_argument(
+        "--speed_test",
+        type=int,
+        default=0,
+        help="time 100 train iters (batch divided by this value) -> time.npy",
+    )
+    args = parser.parse_args()
+
+    # multi-host rendezvous (no-op single host)
+    import jax
+
+    if "COORDINATOR_ADDRESS" in os.environ or int(os.environ.get("NUM_PROCESSES", "1")) > 1:
+        jax.distributed.initialize()
+
+    import jax.numpy as jnp
+    from gta_tpu.config import load_config
+    from gta_tpu.data.loader import Loader
+    from gta_tpu.data.registry import get_dataset
+    from gta_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+    from gta_tpu.train.checkpoint import Checkpointer
+    from gta_tpu.train.trainer import Trainer
+
+    cfg = load_config(args.config)
+    if args.datapath:
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, path=args.datapath))
+    if args.synthetic or (cfg.data.dataset != "synthetic" and not cfg.data.path):
+        print("No datapath given — falling back to synthetic scenes.")
+        h, w = cfg.data.height, cfg.data.width
+        ds = cfg.data.downsample
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(
+                cfg.data,
+                dataset="synthetic",
+                height=h // (2**ds) if ds else h,
+                width=w // (2**ds) if ds else w,
+                downsample=0,
+            ),
+        )
+    if args.seed is not None:
+        cfg = dataclasses.replace(cfg, seed=args.seed)
+    max_it = args.exit_after if args.exit_after is not None else cfg.training.max_it
+
+    is_main = jax.process_index() == 0
+    out_dir = args.outdir or os.path.dirname(args.config)
+    if args.seed is not None:
+        out_dir = os.path.join(out_dir, f"seed{args.seed}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    t_cfg = cfg.training
+    global_batch = t_cfg.batch_size
+    if args.speed_test:
+        global_batch = max(1, global_batch // args.speed_test)
+    n_hosts = jax.process_count()
+    host_batch = global_batch // n_hosts
+
+    sel_sign = 1 if t_cfg.model_selection_mode == "maximize" else -1
+    sel_metric = t_cfg.model_selection_metric
+
+    print(f"Loading training set ({cfg.data.dataset})...")
+    train_ds = get_dataset("train", cfg.data, seed=cfg.seed)
+    eval_split = "test" if args.test else "val"
+    eval_ds = get_dataset(eval_split, cfg.data, full_scale=args.full_scale, max_len=args.max_eval)
+
+    train_loader = Loader(
+        train_ds,
+        host_batch,
+        shuffle=True,
+        seed=cfg.seed,
+        num_workers=t_cfg.num_workers,
+        shard_index=jax.process_index(),
+        shard_count=n_hosts,
+    )
+    val_loader = Loader(
+        eval_ds,
+        max(1, host_batch // 8),
+        shuffle=False,
+        num_workers=t_cfg.num_workers,
+        shard_index=jax.process_index(),
+        shard_count=n_hosts,
+    )
+    vis_n = min(6, host_batch) or 1
+    data_vis = None
+
+    mesh = make_mesh()
+    trainer = Trainer(cfg, mesh=mesh)
+    ckpt = Checkpointer(out_dir)
+
+    # init from one batch
+    init_batch = next(iter(train_loader))
+    state = trainer.init_state(init_batch, seed=cfg.seed)
+    counts = trainer.param_counts(state)
+    print(
+        f"Number of parameters: encoder {counts['encoder']:,}, "
+        f"decoder {counts['decoder']:,}, total {counts['total']:,}"
+    )
+    if args.print_model:
+        import jax.tree_util as jtu
+
+        for path, leaf in jtu.tree_leaves_with_path(state.params):
+            print(jtu.keystr(path), leaf.shape)
+
+    # auto-resume
+    restored, scalars = ckpt.try_restore_latest(state, max_it)
+    if restored is not None:
+        state = restored
+        print(f"Resumed from checkpoint at it={int(state.step)}")
+    epoch_it = scalars.get("epoch_it", -1)
+    time_elapsed = scalars.get("t", 0.0)
+    metric_val_best = scalars.get("loss_val_best", -sel_sign * np.inf)
+
+    state = state.replace(
+        params=replicate(state.params, mesh), opt_state=replicate(state.opt_state, mesh)
+    )
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    it = int(state.step) - 1
+    speed_times = []
+    evalnow, visnow = args.evalnow, args.visnow
+
+    while True:
+        epoch_it += 1
+        train_loader.set_epoch(epoch_it)
+        for batch in train_loader:
+            it += 1
+            batch = shard_batch(batch, mesh)
+
+            scalars_out = {
+                "epoch_it": epoch_it,
+                "it": it,
+                "t": time_elapsed,
+                "loss_val_best": float(metric_val_best),
+            }
+            if t_cfg.checkpoint_every > 0 and it % t_cfg.checkpoint_every == 0 and it > 0:
+                ckpt.save("latest", state, scalars_out)
+                print("Checkpoint saved.")
+            if t_cfg.backup_every > 0 and it % t_cfg.backup_every == 0 and it > 0:
+                ckpt.save(f"step_{it}", state, scalars_out)
+                print("Backup checkpoint saved.")
+
+            if visnow or (it > 0 and t_cfg.visualize_every > 0 and it % t_cfg.visualize_every == 0):
+                if is_main:
+                    if data_vis is None:
+                        data_vis = next(iter(Loader(eval_ds, vis_n, shuffle=True, num_workers=2)))
+                    print("Visualizing...")
+                    trainer.visualize(state.params, data_vis, os.path.join(out_dir, "renders-val"))
+                visnow = False
+
+            if evalnow or (it > 0 and t_cfg.validate_every > 0 and it % t_cfg.validate_every == 0):
+                print("Evaluating...")
+                eval_dict = trainer.evaluate(state.params, iter(val_loader))
+                print("Evaluation results:", eval_dict)
+                metric_val = eval_dict[sel_metric]
+                if sel_sign * (metric_val - metric_val_best) > 0:
+                    metric_val_best = metric_val
+                    print(f"New best model ({sel_metric} {metric_val_best:.6f})")
+                    scalars_out["loss_val_best"] = float(metric_val_best)
+                    ckpt.save("best", state, scalars_out)
+                evalnow = False
+
+            t0 = time.perf_counter()
+            state, metrics = trainer.train_step(state, batch, rng)
+            if args.speed_test:
+                jax.block_until_ready(metrics["loss"])
+            dt = time.perf_counter() - t0
+            time_elapsed += dt
+
+            if args.speed_test:
+                speed_times.append(dt * 1e3)
+                print(dt * 1e3)
+                if len(speed_times) == 100:
+                    np.save(os.path.join(out_dir, "time.npy"), np.asarray(speed_times))
+                    return
+
+            if t_cfg.print_every > 0 and it % t_cfg.print_every == 0:
+                loss = float(metrics["loss"])
+                lr = float(metrics["lr"])
+                elapsed = str(datetime.timedelta(seconds=int(time_elapsed)))
+                print(
+                    f"{out_dir} t={elapsed} [Epoch {epoch_it:02d}] it={it}, "
+                    f"loss={loss:.4f} lr={lr:.3e}"
+                )
+
+            if it >= max_it:
+                print("Iteration limit reached. Exiting.")
+                ckpt.save("latest", state, scalars_out)
+                return
+
+
+if __name__ == "__main__":
+    main()
