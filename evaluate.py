@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Standalone evaluation: PSNR / SSIM / (optional) LPIPS on full-scale frames.
+
+Protocol mirrors reference evaluate.py:81-145: batch-1 full-scale test
+split, encode each scene once, decode every target view's full frame,
+score per view. Resolutions: 240x320 (clevrtr) / 128x128 (msn). LPIPS
+(VGG+Alex) requires pretrained weights and is skipped with a notice when
+unavailable (zero-egress environments).
+
+Usage: python evaluate.py <config.yaml> <datapath> <ckpt_name> [--max-scenes N]
+"""
+
+import argparse
+import dataclasses
+import json
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config", type=str)
+    parser.add_argument("datapath", type=str, nargs="?", default=None)
+    parser.add_argument("--ckpt", type=str, default="best", help="latest | best | step_N")
+    parser.add_argument("--outdir", type=str, default=None)
+    parser.add_argument("--max-scenes", type=int, default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gta_tpu.config import load_config
+    from gta_tpu.data.registry import get_dataset
+    from gta_tpu.data.synthetic import collate
+    from gta_tpu.models.context import SceneBatch
+    from gta_tpu.train.checkpoint import Checkpointer
+    from gta_tpu.train.trainer import Trainer
+    from gta_tpu.utils.metrics import ssim as ssim_fn
+
+    import os
+
+    cfg = load_config(args.config)
+    if args.datapath:
+        cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, path=args.datapath))
+    if args.synthetic or (cfg.data.dataset != "synthetic" and not cfg.data.path):
+        print("No datapath — evaluating on synthetic scenes.")
+        h, w = cfg.data.height, cfg.data.width
+        ds = cfg.data.downsample
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(
+                cfg.data,
+                dataset="synthetic",
+                height=h // (2**ds) if ds else h,
+                width=w // (2**ds) if ds else w,
+                downsample=0,
+            ),
+        )
+
+    H, W = cfg.data.height, cfg.data.width
+    if cfg.data.downsample:
+        H, W = H // 2**cfg.data.downsample, W // 2**cfg.data.downsample
+
+    out_dir = args.outdir or os.path.dirname(args.config)
+    trainer = Trainer(cfg)
+    dataset = get_dataset("test", cfg.data, full_scale=True, max_len=args.max_scenes)
+
+    item0 = dataset[0] if hasattr(dataset, "__getitem__") else next(iter(dataset))
+    batch0 = jax.tree.map(jnp.asarray, collate([item0]))
+    state = trainer.init_state(batch0)
+    ckpt = Checkpointer(out_dir)
+    if ckpt.exists(args.ckpt):
+        state, _ = ckpt.restore(args.ckpt, state)
+        print(f"Loaded checkpoint {args.ckpt}")
+    else:
+        print(f"WARNING: checkpoint '{args.ckpt}' not found in {out_dir}/ckpts — "
+              "evaluating random init")
+
+    lpips_vgg = lpips_alex = None
+    try:
+        from gta_tpu.utils.metrics import LPIPS
+
+        lpips_vgg, lpips_alex = LPIPS("vgg"), LPIPS("alex")
+    except Exception as e:
+        print(f"LPIPS unavailable ({e}); reporting PSNR/SSIM/MSE only")
+
+    n = len(dataset) if args.max_scenes is None else min(args.max_scenes, len(dataset))
+    psnrs, ssims, mses, lp_v, lp_a = [], [], [], [], []
+    items = (dataset[i] for i in range(n)) if hasattr(dataset, "__getitem__") else iter(dataset)
+    for i, item in enumerate(items):
+        if i >= n:
+            break
+        batch = jax.tree.map(jnp.asarray, collate([item]))
+        Nt = batch.target_transforms.shape[1]
+        for v in range(Nt):
+            pred = trainer.render_image(
+                state.params,
+                batch,
+                H,
+                W,
+                target_transform=np.asarray(batch.target_transforms[:, v]),
+                chunk=cfg.data.num_points,
+            )  # [1, H, W, 3]
+            gt = np.asarray(batch.target_pixels[:, v]).reshape(1, H, W, 3)
+            mse = float(np.mean((pred - gt) ** 2))
+            mses.append(mse)
+            psnrs.append(-10.0 * np.log10(mse))
+            ssims.append(float(ssim_fn(jnp.asarray(pred), jnp.asarray(gt))))
+            if lpips_vgg is not None:
+                lp_v.append(lpips_vgg(pred, gt))
+                lp_a.append(lpips_alex(pred, gt))
+        if (i + 1) % 10 == 0:
+            print(f"scene {i + 1}/{n}: psnr={np.mean(psnrs):.3f} ssim={np.mean(ssims):.4f}")
+
+    results = {
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "mse": float(np.mean(mses)),
+        "n_scenes": n,
+    }
+    if lp_v:
+        results["lpips_vgg"] = float(np.mean(lp_v))
+        results["lpips_alex"] = float(np.mean(lp_a))
+    print(json.dumps(results))
+    with open(os.path.join(out_dir, "eval_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

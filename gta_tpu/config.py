@@ -120,10 +120,21 @@ class AttnConfig:
     # rpe (learned-rep "invatt_directsum")
     rpe: bool = False
     rpe_so2: int = 0
+    # fused blockwise attention (Pallas); set by the runtime on TPU
+    flash: bool = False
 
     @property
     def is_gta(self) -> bool:
         return self.method == "gta"
+
+    @property
+    def flash_eligible(self) -> bool:
+        """Flash path supports plain dot-product softmax only."""
+        if self.softmax != "standard":
+            return False
+        if self.method in ("gta",):
+            return not self.gta.euclid_sim
+        return self.method in ("", "ape", "mln", "frustum_posemb")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -214,6 +225,22 @@ class TrainConfig:
     backup_every: int = 25000
     model_selection_metric: str = "psnr"
     model_selection_mode: str = "maximize"
+    flash: str = "auto"  # 'auto' (TPU only) | 'on' | 'off'
+
+
+def with_flash_attention(cfg: "Config") -> "Config":
+    """Enable the Pallas flash-attention path on eligible attention configs."""
+
+    def upd(mod_cfg):
+        attn = mod_cfg.attn
+        if attn.flash_eligible and not getattr(mod_cfg, "return_last_attmap", False):
+            return dataclasses.replace(mod_cfg, attn=dataclasses.replace(attn, flash=True))
+        return mod_cfg
+
+    model = dataclasses.replace(
+        cfg.model, encoder=upd(cfg.model.encoder), decoder=upd(cfg.model.decoder)
+    )
+    return dataclasses.replace(cfg, model=model)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -360,6 +387,8 @@ def _parse_training(t: dict) -> TrainConfig:
         backup_every=int(t.get("backup_every", 25000)),
         model_selection_metric=t.get("model_selection_metric", "psnr"),
         model_selection_mode=t.get("model_selection_mode", "maximize"),
+        flash=t.get("flash", "auto") if not isinstance(t.get("flash"), bool)
+        else ("on" if t.get("flash") else "off"),
     )
 
 

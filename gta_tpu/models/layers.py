@@ -141,7 +141,9 @@ class Attention(nn.Module):
                 if cfg.method == "gbt":
                     w = self.param("geo_weights", nn.initializers.ones, (1,))
                     bias = -((w**2) * ctx.plucker_dist)[:, None]
-                out, attn = dot_product_attention(q, k, v, scale=scale, tau=tau, bias=bias)
+                out, attn = dot_product_attention(
+                    q, k, v, scale=scale, tau=tau, bias=bias, flash=cfg.flash
+                )
 
             out = _merge_heads(out)
             if project_out:
@@ -174,11 +176,12 @@ class Attention(nn.Module):
             trans_coeff = self.param(
                 "trans_coeff", nn.initializers.constant(0.01), (1,)
             ).astype(self.dtype)
-        attn_fn = functools.partial(
-            euclid_attention if args.euclid_sim else dot_product_attention,
-            scale=scale,
-            tau=tau,
-        )
+        if args.euclid_sim:
+            attn_fn = functools.partial(euclid_attention, scale=scale, tau=tau)
+        else:
+            attn_fn = functools.partial(
+                dot_product_attention, scale=scale, tau=tau, flash=cfg.flash
+            )
         return gta_attention(q, k, v, attn_fn, ctx.geom, args, trans_coeff)
 
     def _concat_rpe_bias(self, q, k, v):

@@ -24,13 +24,20 @@ def dot_product_attention(
     scale: float,
     tau: jnp.ndarray | float = 1.0,
     bias: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    flash: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """softmax(q k^T * scale / tau + bias) v over [B, H, T, C] operands.
 
     Returns (out, attn). `tau` may be a learnable scalar (adjustable
     softmax, reference layers.py:135-143); `bias` hosts e.g. the GBT
-    Plücker-distance term.
+    Plücker-distance term. With flash=True (TPU, no bias, static tau) the
+    Pallas blockwise kernel is used and attn is None.
     """
+    if flash and bias is None and isinstance(tau, (int, float)):
+        from gta_tpu.ops.flash import flash_attention
+
+        out = flash_attention(q, k, v, sm_scale=float(scale) / float(tau))
+        return out, None
     sim = jnp.einsum("bhqc,bhkc->bhqk", q, k, preferred_element_type=jnp.float32)
     sim = sim * scale / tau
     if bias is not None:

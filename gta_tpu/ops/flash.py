@@ -1,0 +1,74 @@
+"""Blockwise (flash) attention on TPU via Pallas.
+
+Wraps the stock JAX Pallas TPU flash-attention kernel (fwd + custom-VJP
+bwd) with the padding/masking glue our shapes need: query/key lengths are
+padded to 128-multiples with segment-id masking so padded keys never
+receive probability mass, and padded queries are sliced off. This removes
+the O(Tq x Tk) attention-matrix HBM round-trip that the XLA path (and the
+reference, layers.py:202-211) materializes.
+
+Constraints: no attention-map output, static sm_scale (the adjustable-tau
+softmax and GBT bias variants stay on the XLA path — see
+ops/attention.dot_product_attention).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BLOCK = 128
+
+
+def _pad_len(n: int, block: int = _BLOCK) -> int:
+    return ((n + block - 1) // block) * block
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale",))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, sm_scale: float = 1.0):
+    """softmax(q k^T * sm_scale) v over [B, H, T, C] without materializing
+    the attention matrix. Returns out [B, H, Tq, C]."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention as _fa,
+    )
+
+    B, H, Tq, C = q.shape
+    Tk = k.shape[2]
+    tq_p, tk_p = _pad_len(Tq), _pad_len(Tk)
+    # Zero-pad head dim to the 128-lane width: QK^T and the used output
+    # columns are unchanged, and the MXU lanes are 128-wide regardless.
+    c_p = _pad_len(C)
+
+    def pad_t(x, t_p):
+        t, c = x.shape[2], x.shape[3]
+        if t == t_p and c == c_p:
+            return x
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_p - t), (0, c_p - c)))
+
+    qp, kp, vp = pad_t(q, tq_p), pad_t(k, tk_p), pad_t(v, tk_p)
+
+    seg = None
+    if tk_p != Tk or tq_p != Tq:
+        q_ids = (jnp.arange(tq_p) < Tq).astype(jnp.int32)[None].repeat(B, 0)
+        kv_ids = (jnp.arange(tk_p) < Tk).astype(jnp.int32)[None].repeat(B, 0)
+        seg = SegmentIds(q=q_ids, kv=kv_ids)
+
+    block_sizes = BlockSizes(
+        block_q=min(_BLOCK * 4, tq_p),
+        block_k_major=min(_BLOCK, tk_p),
+        block_k=min(_BLOCK, tk_p),
+        block_b=1,
+        block_q_major_dkv=min(_BLOCK * 4, tq_p),
+        block_k_major_dkv=min(_BLOCK, tk_p),
+        block_k_dkv=min(_BLOCK, tk_p),
+        block_q_dkv=min(_BLOCK * 4, tq_p),
+        block_k_major_dq=min(_BLOCK, tk_p),
+        block_k_dq=min(_BLOCK, tk_p),
+        block_q_dq=min(_BLOCK * 4, tq_p),
+    )
+    out = _fa(qp, kp, vp, segment_ids=seg, sm_scale=sm_scale, block_sizes=block_sizes)
+    return out[:, :, :Tq, :C]

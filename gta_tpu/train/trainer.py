@@ -38,8 +38,12 @@ class Trainer:
     """Owns the model, optimizer, and compiled step functions."""
 
     def __init__(self, cfg: Config, mesh=None):
-        self.cfg = cfg
         t = cfg.training
+        if t.flash == "on" or (t.flash == "auto" and jax.default_backend() == "tpu"):
+            from gta_tpu.config import with_flash_attention
+
+            cfg = with_flash_attention(cfg)
+        self.cfg = cfg
         self.dtype = jnp.bfloat16 if t.mixed_prec else jnp.float32
         self.model = build_model(cfg.model, dtype=self.dtype)
         self.schedule = warmup_exp_decay(t.lr, t.lr_warmup, t.decay_it, t.decay_rate)

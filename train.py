@@ -38,6 +38,16 @@ def main():
         default=0,
         help="time 100 train iters (batch divided by this value) -> time.npy",
     )
+    parser.add_argument(
+        "--profile",
+        type=int,
+        default=0,
+        help="capture a jax.profiler trace of this many steps into <outdir>/trace",
+    )
+    parser.add_argument("--wandb", action="store_true", help="log to Weights & Biases")
+    parser.add_argument(
+        "--debug-nans", action="store_true", help="enable jax_debug_nans checks"
+    )
     args = parser.parse_args()
 
     # multi-host rendezvous (no-op single host)
@@ -45,6 +55,8 @@ def main():
 
     if "COORDINATOR_ADDRESS" in os.environ or int(os.environ.get("NUM_PROCESSES", "1")) > 1:
         jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     import jax.numpy as jnp
     from gta_tpu.config import load_config
@@ -148,8 +160,18 @@ def main():
     )
     rng = jax.random.PRNGKey(cfg.seed)
 
+    wandb_run = None
+    if args.wandb and is_main:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project="gta-tpu", name=out_dir, resume=True)
+        except Exception as e:
+            print(f"wandb unavailable ({e}); continuing without")
+
     it = int(state.step) - 1
     speed_times = []
+    profile_stop_at = None
     evalnow, visnow = args.evalnow, args.visnow
 
     while True:
@@ -192,12 +214,21 @@ def main():
                     ckpt.save("best", state, scalars_out)
                 evalnow = False
 
+            if args.profile and profile_stop_at is None:
+                jax.profiler.start_trace(os.path.join(out_dir, "trace"))
+                profile_stop_at = it + args.profile
+
             t0 = time.perf_counter()
             state, metrics = trainer.train_step(state, batch, rng)
-            if args.speed_test:
+            if args.speed_test or args.profile:
                 jax.block_until_ready(metrics["loss"])
             dt = time.perf_counter() - t0
             time_elapsed += dt
+
+            if profile_stop_at is not None and it >= profile_stop_at:
+                jax.profiler.stop_trace()
+                print(f"Profiler trace written to {out_dir}/trace")
+                profile_stop_at = 1 << 60
 
             if args.speed_test:
                 speed_times.append(dt * 1e3)
@@ -214,6 +245,8 @@ def main():
                     f"{out_dir} t={elapsed} [Epoch {epoch_it:02d}] it={it}, "
                     f"loss={loss:.4f} lr={lr:.3e}"
                 )
+                if wandb_run is not None:
+                    wandb_run.log({"loss": loss, "lr": lr, "t": time_elapsed}, step=it)
 
             if it >= max_it:
                 print("Iteration limit reached. Exiting.")
