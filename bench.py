@@ -53,16 +53,17 @@ def main():
 
     for _ in range(WARMUP):
         state, metrics = trainer.train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # host fetch: hard sync
 
-    times = []
+    # Time ITERS chained steps between two host syncs. Per-step
+    # block_until_ready is unreliable over proxied/tunneled devices (it can
+    # return before device completion); the state dependency chain plus a
+    # final host fetch measures true sustained throughput.
+    t0 = time.perf_counter()
     for _ in range(ITERS):
-        t0 = time.perf_counter()
         state, metrics = trainer.train_step(state, batch, rng)
-        jax.block_until_ready(metrics["loss"])
-        times.append(time.perf_counter() - t0)
-
-    step = float(np.median(times))
+    float(metrics["loss"])
+    step = (time.perf_counter() - t0) / ITERS
     rays_per_sec = BATCH * cfg.data.num_points / step
     print(
         json.dumps(

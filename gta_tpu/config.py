@@ -201,6 +201,11 @@ class DataConfig:
     camera_noise: float = 0.0
     kubric_basis: bool = False
     image_coord: bool = False
+    # default True for python-constructed configs; the YAML parser defaults
+    # to False (reference dataset default) when the key is absent
+    return_transform: bool = True
+    canonical_view: bool = True
+    avoid_zerocamorg: bool = False
     height: int = 240
     width: int = 320
 
@@ -364,6 +369,9 @@ def _parse_data(d: dict) -> DataConfig:
         camera_noise=float(kw.get("camera_noise") or 0.0),
         kubric_basis=bool(kw.get("kubric_basis", False)),
         image_coord=bool(kw.get("image_coord", False)),
+        return_transform=bool(kw.get("return_transform", False)),
+        canonical_view=bool(kw.get("canonical_view", True)),
+        avoid_zerocamorg=bool(kw.get("avoid_zerocamorg", False)),
         height=int(kw.get("height", h)),
         width=int(kw.get("width", w)),
     )

@@ -183,12 +183,19 @@ class CLEVRTR:
             ]
         )
 
-        canonical = extrinsics[input_idx[0]]
-        rays_c = transform_points(all_rays, canonical, translate=False)
-        pos_c = transform_points(cam_pos, canonical)
-        inv_canon = np.linalg.inv(canonical)
-        input_tf = np.stack([extrinsics[i] @ inv_canon for i in input_idx]).astype(np.float32)
-        target_tf = np.stack([extrinsics[i] @ inv_canon for i in target_idx]).astype(np.float32)
+        canonical = extrinsics[input_idx[0]].copy()
+        if cfg.avoid_zerocamorg:
+            canonical[:3, 3] += 0.01
+        if cfg.canonical_view:
+            rays_c = transform_points(all_rays, canonical, translate=False)
+            pos_c = transform_points(cam_pos, canonical)
+            inv_canon = np.linalg.inv(canonical)
+            input_tf = np.stack([extrinsics[i] @ inv_canon for i in input_idx]).astype(np.float32)
+            target_tf = np.stack([extrinsics[i] @ inv_canon for i in target_idx]).astype(np.float32)
+        else:
+            rays_c, pos_c = all_rays, cam_pos
+            input_tf = extrinsics[input_idx]
+            target_tf = extrinsics[target_idx]
 
         input_images = imgs[input_idx]
         input_rays = rays_c[input_idx].astype(np.float32)
@@ -202,6 +209,35 @@ class CLEVRTR:
 
         tgt_pixels = imgs[target_idx].reshape(cfg.num_target_views, -1, 3)
         tgt_masks = masks[target_idx].reshape(cfg.num_target_views, -1, self.NUM_MAX_ENTITIES)
+
+        if not cfg.return_transform:
+            # Non-transform mode (clevr_tr.py:313-327): actual target rays and
+            # positions, flattened across views, sampled without replacement.
+            t_rays = rays_c[target_idx].reshape(-1, 3).astype(np.float32)
+            t_pos = np.repeat(pos_c[target_idx], self.h * self.w, 0).astype(np.float32)
+            t_pix = tgt_pixels.reshape(-1, 3)
+            t_msk = tgt_masks.reshape(-1, self.NUM_MAX_ENTITIES)
+            if not self.full_scale:
+                sel = np.random.choice(len(t_pix), size=cfg.num_points, replace=False)
+                t_pix, t_rays, t_pos, t_msk = t_pix[sel], t_rays[sel], t_pos[sel], t_msk[sel]
+            if cfg.downsample:
+                input_images = np.stack([_downsample(im, cfg.downsample) for im in input_images])
+                input_rays = np.stack([_downsample(r, cfg.downsample) for r in input_rays])
+                input_masks = np.stack([_downsample(m, cfg.downsample) for m in input_masks])
+            return {
+                "input_images": input_images,
+                "input_camera_pos": input_camera_pos,
+                "input_rays": input_rays,
+                "input_masks": input_masks,
+                "target_pixels": t_pix.astype(np.float32),
+                "target_camera_pos": t_pos,
+                "target_rays": t_rays,
+                "target_masks": t_msk,
+                "input_transforms": input_tf,
+                "transform": canonical.astype(np.float32),
+                "sceneid": np.int32(idx),
+            }
+
         base_rays = input_rays[0].reshape(-1, 3)
         base_pos = np.broadcast_to(input_camera_pos[0], (self.h * self.w, 3))
         base_coord = self.coord.reshape(-1, 2)

@@ -105,6 +105,29 @@ def prep_scene(
     input_tf = np.stack([e @ inv_canon for e in input_tf]).astype(np.float32)
     target_tf = np.stack([e @ inv_canon for e in target_tf]).astype(np.float32)
 
+    if not cfg.return_transform:
+        # Non-transform mode (multishapenet.py:270-285): actual target rays.
+        t_rays = transform_points(target_rays, canonical, translate=False).reshape(-1, 3)
+        t_pos = transform_points(target_camera_pos, canonical).reshape(-1, 3)
+        t_pix = target_pixels.reshape(-1, 3)
+        if not full_scale:
+            sel = rng.choice(len(t_pix), size=cfg.num_points, replace=False)
+            t_pix, t_rays, t_pos = t_pix[sel], t_rays[sel], t_pos[sel]
+        out = {
+            "input_images": input_images.astype(np.float32),
+            "input_camera_pos": input_camera_pos.astype(np.float32),
+            "input_rays": input_rays.astype(np.float32),
+            "target_pixels": t_pix.astype(np.float32),
+            "target_camera_pos": t_pos.astype(np.float32),
+            "target_rays": t_rays.astype(np.float32),
+            "input_transforms": input_tf,
+            "transform": canonical.astype(np.float32),
+            "sceneid": np.int32(sceneid),
+        }
+        if masks is not None:
+            out["input_masks"] = masks[input_views]
+        return out
+
     h, w = target_pixels.shape[1:3]
     n = h * w
     target_pixels = target_pixels.reshape(-1, n, 3)

@@ -116,16 +116,46 @@ class SyntheticScenes:
             target_idx = rng.choice(remaining, size=cfg.num_target_views, replace=False)
 
         # canonicalize in the first input view's frame (clevr_tr.py:234-249)
-        canon = extrinsics[input_idx[0]]
-        rays_c = transform_points(all_rays, canon, translate=False)
-        pos_c = transform_points(cam_pos, canon)
-        inv_canon = np.linalg.inv(canon)
-        input_tf = np.stack([extrinsics[i] @ inv_canon for i in input_idx]).astype(np.float32)
-        target_tf = np.stack([extrinsics[i] @ inv_canon for i in target_idx]).astype(np.float32)
+        canon = extrinsics[input_idx[0]].copy()
+        if cfg.avoid_zerocamorg:
+            canon[:3, 3] += 0.01
+        if cfg.canonical_view:
+            rays_c = transform_points(all_rays, canon, translate=False)
+            pos_c = transform_points(cam_pos, canon)
+            inv_canon = np.linalg.inv(canon)
+            input_tf = np.stack([extrinsics[i] @ inv_canon for i in input_idx]).astype(np.float32)
+            target_tf = np.stack([extrinsics[i] @ inv_canon for i in target_idx]).astype(np.float32)
+        else:
+            rays_c, pos_c = all_rays, cam_pos
+            input_tf = extrinsics[input_idx].astype(np.float32)
+            target_tf = extrinsics[target_idx].astype(np.float32)
 
         input_images = imgs[input_idx]
         input_rays = rays_c[input_idx].astype(np.float32)
         input_camera_pos = pos_c[input_idx].astype(np.float32)
+
+        if not cfg.return_transform:
+            # Non-transform mode (clevr_tr.py:313-327): actual target-view
+            # rays/positions, flattened across views; geometry enters the
+            # model through rays, not relative transforms.
+            t_rays = rays_c[target_idx].reshape(-1, 3).astype(np.float32)
+            t_pos = np.repeat(pos_c[target_idx], self.h * self.w, 0).astype(np.float32)
+            t_pix = tgt_pixels.reshape(-1, 3)
+            if not self.full_scale:
+                sel = rng.choice(len(t_pix), size=cfg.num_points, replace=False)
+                t_pix, t_rays, t_pos = t_pix[sel], t_rays[sel], t_pos[sel]
+            out = {
+                "input_images": input_images,
+                "input_camera_pos": input_camera_pos,
+                "input_rays": input_rays,
+                "target_pixels": t_pix.astype(np.float32),
+                "target_camera_pos": t_pos,
+                "target_rays": t_rays,
+                "input_transforms": input_tf,
+                "transform": canon.astype(np.float32),
+                "sceneid": np.int32(idx),
+            }
+            return out
 
         # target rays are the canonical view's grid re-used per target view
         # (clevr_tr.py:275-311): pixels come from target images, rays from

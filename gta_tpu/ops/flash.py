@@ -57,18 +57,27 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, sm_scale: fl
         kv_ids = (jnp.arange(tk_p) < Tk).astype(jnp.int32)[None].repeat(B, 0)
         seg = SegmentIds(q=q_ids, kv=kv_ids)
 
+    def pick(n, target):
+        # largest power-of-two multiple of 128 that divides n, capped at target
+        b = min(target, n)
+        while n % b:
+            b //= 2
+        return max(b, _BLOCK)
+
+    bq = pick(tq_p, _BLOCK * 4)
+    bk = pick(tk_p, _BLOCK)
     block_sizes = BlockSizes(
-        block_q=min(_BLOCK * 4, tq_p),
-        block_k_major=min(_BLOCK, tk_p),
-        block_k=min(_BLOCK, tk_p),
+        block_q=bq,
+        block_k_major=bk,
+        block_k=bk,
         block_b=1,
-        block_q_major_dkv=min(_BLOCK * 4, tq_p),
-        block_k_major_dkv=min(_BLOCK, tk_p),
-        block_k_dkv=min(_BLOCK, tk_p),
-        block_q_dkv=min(_BLOCK * 4, tq_p),
-        block_k_major_dq=min(_BLOCK, tk_p),
-        block_k_dq=min(_BLOCK, tk_p),
-        block_q_dq=min(_BLOCK * 4, tq_p),
+        block_q_major_dkv=bq,
+        block_k_major_dkv=bk,
+        block_k_dkv=bk,
+        block_q_dkv=bq,
+        block_k_major_dq=bk,
+        block_k_dq=bk,
+        block_q_dq=bq,
     )
     out = _fa(qp, kp, vp, segment_ids=seg, sm_scale=sm_scale, block_sizes=block_sizes)
     return out[:, :, :Tq, :C]

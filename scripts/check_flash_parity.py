@@ -57,14 +57,16 @@ def main():
             for a, b in zip(g_ref, g_fl)
         )
 
-        def timeit(f):
-            f(q, k, v).block_until_ready()
-            ts = []
-            for _ in range(10):
-                t0 = time.perf_counter()
-                f(q, k, v).block_until_ready()
-                ts.append(time.perf_counter() - t0)
-            return float(np.median(ts)) * 1e3
+        def timeit(f, iters=20):
+            # chain outputs into the next call's q and host-fetch once:
+            # per-call block_until_ready is unreliable over tunneled devices
+            x = f(q, k, v)
+            float(x[0, 0, 0, 0])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                x = f(x, k, v)
+            float(x[0, 0, 0, 0])
+            return (time.perf_counter() - t0) / iters * 1e3
 
         t_ref, t_fl = timeit(ref_fn), timeit(fl_fn)
         status = "OK" if err < 2e-5 and gerr < 2e-3 else "FAIL"
