@@ -176,6 +176,15 @@ class Attention(nn.Module):
             trans_coeff = self.param(
                 "trans_coeff", nn.initializers.constant(0.01), (1,)
             ).astype(self.dtype)
+        if cfg.flash and not args.euclid_sim and isinstance(tau, (int, float)):
+            # single fused Pallas kernel: rep-transform + blockwise attention
+            # + inverse rep (ops/gta_pallas.py)
+            from gta_tpu.ops.gta_pallas import fused_gta_attention
+
+            out = fused_gta_attention(
+                q, k, v, ctx.geom, args, trans_coeff, float(scale) / float(tau)
+            )
+            return out, None
         if args.euclid_sim:
             attn_fn = functools.partial(euclid_attention, scale=scale, tau=tau)
         else:

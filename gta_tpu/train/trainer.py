@@ -118,13 +118,27 @@ class Trainer:
         return self._eval_step(params, batch)
 
     def evaluate(self, params, batches) -> Dict[str, float]:
-        """Aggregate eval over an iterable of SceneBatch (single-host)."""
+        """Aggregate eval over an iterable of SceneBatch.
+
+        Multi-host: per-host means are all-gathered and averaged with a
+        deterministic (sorted) key order — the analogue of the reference's
+        AVG all_reduce over sorted keys (common.py:80-102). Host shards see
+        equal batch counts (loader truncation), so mean-of-means is exact.
+        """
         acc: Dict[str, list] = {}
         for batch in batches:
             out = self.eval_step(params, batch)
             for k, v in out.items():
                 acc.setdefault(k, []).append(np.asarray(v))
-        return {k: float(np.mean(np.concatenate(v))) for k, v in acc.items()}
+        local = {k: float(np.mean(np.concatenate(v))) for k, v in acc.items()}
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            keys = sorted(local)
+            vals = jnp.asarray([local[k] for k in keys])
+            gathered = multihost_utils.process_allgather(vals)  # [hosts, K]
+            return {k: float(v) for k, v in zip(keys, np.mean(gathered, 0))}
+        return local
 
     # ------------------------------------------------------------------
     def _decode_chunk_impl(self, params, z, enc_geom_batch: SceneBatch):
