@@ -24,6 +24,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+from gta_tpu.runtime import setup as _setup_cache
+
+_setup_cache()
 import numpy as np
 
 from gta_tpu.config import load_config

@@ -30,6 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gta_tpu.runtime import setup as _setup_cache
+
+    _setup_cache()
+
     from gta_tpu.config import load_config
     from gta_tpu.data.registry import get_dataset
     from gta_tpu.data.synthetic import collate

@@ -1,0 +1,19 @@
+"""Process-level runtime setup helpers."""
+
+from __future__ import annotations
+
+import os
+
+
+def setup(cache_dir: str = "/root/.cache/jax_compilation") -> None:
+    """Enable the persistent compilation cache (first Mosaic/XLA compiles of
+    the full model take minutes over the tunneled TPU; subsequent processes
+    hit the cache) and keep CPU fallback sane."""
+    import jax
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

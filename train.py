@@ -53,6 +53,10 @@ def main():
     # multi-host rendezvous (no-op single host)
     import jax
 
+    from gta_tpu.runtime import setup as _setup_cache
+
+    _setup_cache()
+
     if "COORDINATOR_ADDRESS" in os.environ or int(os.environ.get("NUM_PROCESSES", "1")) > 1:
         jax.distributed.initialize()
     if args.debug_nans:
