@@ -122,6 +122,10 @@ class AttnConfig:
     rpe_so2: int = 0
     # fused blockwise attention (Pallas); set by the runtime on TPU
     flash: bool = False
+    # fully-fused GTA kernel (ops/gta_pallas.py) instead of XLA transform +
+    # flash attention; opt-in (training.flash = 'fused') — currently slower
+    # than the XLA path on v5e (sub-lane block math), kept for optimization
+    fused: bool = False
 
     @property
     def is_gta(self) -> bool:
@@ -230,16 +234,21 @@ class TrainConfig:
     backup_every: int = 25000
     model_selection_metric: str = "psnr"
     model_selection_mode: str = "maximize"
-    flash: str = "auto"  # 'auto' (TPU only) | 'on' | 'off'
+    flash: str = "auto"  # 'auto' (TPU only) | 'on' | 'off' | 'fused'
 
 
-def with_flash_attention(cfg: "Config") -> "Config":
-    """Enable the Pallas flash-attention path on eligible attention configs."""
+def with_flash_attention(cfg: "Config", fused: bool = False) -> "Config":
+    """Enable the Pallas flash-attention path on eligible attention configs.
+
+    fused=True additionally routes GTA attention through the fully-fused
+    Pallas kernel (opt-in)."""
 
     def upd(mod_cfg):
         attn = mod_cfg.attn
         if attn.flash_eligible and not getattr(mod_cfg, "return_last_attmap", False):
-            return dataclasses.replace(mod_cfg, attn=dataclasses.replace(attn, flash=True))
+            return dataclasses.replace(
+                mod_cfg, attn=dataclasses.replace(attn, flash=True, fused=fused)
+            )
         return mod_cfg
 
     model = dataclasses.replace(

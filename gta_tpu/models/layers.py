@@ -176,7 +176,7 @@ class Attention(nn.Module):
             trans_coeff = self.param(
                 "trans_coeff", nn.initializers.constant(0.01), (1,)
             ).astype(self.dtype)
-        if cfg.flash and not args.euclid_sim and isinstance(tau, (int, float)):
+        if cfg.fused and not args.euclid_sim and isinstance(tau, (int, float)):
             # single fused Pallas kernel: rep-transform + blockwise attention
             # + inverse rep (ops/gta_pallas.py)
             from gta_tpu.ops.gta_pallas import fused_gta_attention

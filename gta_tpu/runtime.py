@@ -17,3 +17,9 @@ def setup(cache_dir: str = "/root/.cache/jax_compilation") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    try:
+        # TPU-optimized PRNG: threefry dropout bits cost ~15% of a train
+        # step at these shapes; rbg is hardware-accelerated
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass

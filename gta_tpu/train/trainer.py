@@ -39,10 +39,15 @@ class Trainer:
 
     def __init__(self, cfg: Config, mesh=None):
         t = cfg.training
-        if t.flash == "on" or (t.flash == "auto" and jax.default_backend() == "tpu"):
+        # 'auto' currently keeps the XLA einsum path: measured on v5e it beats
+        # both the stock-flash wrapper (padding/segment-id overhead at these
+        # sequence lengths) and the fused kernel (sub-lane block math) for
+        # the training shapes — 143ms vs 205ms vs ~390ms per batch-32 step.
+        # 'on'/'fused' remain opt-ins for kernel iteration.
+        if t.flash in ("on", "fused"):
             from gta_tpu.config import with_flash_attention
 
-            cfg = with_flash_attention(cfg)
+            cfg = with_flash_attention(cfg, fused=t.flash == "fused")
         self.cfg = cfg
         self.dtype = jnp.bfloat16 if t.mixed_prec else jnp.float32
         self.model = build_model(cfg.model, dtype=self.dtype)
@@ -54,6 +59,11 @@ class Trainer:
         self.mesh = mesh
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+        # jitted init: eager flax init dispatches thousands of ops (minutes
+        # over a tunneled device) and can't hit the persistent compile cache
+        self._init = jax.jit(
+            lambda rng, batch: self.model.init(rng, batch, deterministic=True)
+        )
         self._encode = jax.jit(
             lambda params, batch: self.model.apply(
                 params, batch, deterministic=True, method=self.model.encode
@@ -63,7 +73,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self, batch: SceneBatch, seed: int = 0) -> TrainState:
-        params = self.model.init(jax.random.PRNGKey(seed), batch, deterministic=True)
+        params = self._init(jax.random.PRNGKey(seed), batch)
         opt_state = self.tx.init(params)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
 
