@@ -57,10 +57,12 @@ class SyntheticScenes:
     """Map-style synthetic dataset mirroring the CLEVR-TR item structure."""
 
     def __init__(self, cfg: DataConfig, mode: str = "train", num_scenes: int = 10000,
-                 full_scale: bool = False, seed: int = 0, max_len=None):
+                 full_scale: bool = False, seed: int = 0, max_len=None,
+                 use_native: bool = True):
         self.cfg = cfg
         self.mode = mode
         self.full_scale = full_scale
+        self.use_native = use_native
         self.num_scenes = max_len or num_scenes
         base = {"train": 0, "val": 1 << 20, "test": 1 << 21}[mode]
         self.seed_base = seed * (1 << 22) + base
@@ -98,13 +100,25 @@ class SyntheticScenes:
         ).astype(np.float32)
 
         extrinsics = np.stack([lookat_extrinsic(p) for p in cam_pos])
-        all_rays = np.stack(
-            [
-                camera_rays_from_extrinsic(extrinsics[i], cam_pos[i], self.w, self.h)
-                for i in range(NV)
-            ]
-        )
-        imgs = np.stack([_render(cam_pos[i], all_rays[i], spheres) for i in range(NV)])
+        native = None
+        if self.use_native:
+            from gta_tpu.data.native import render_views
+
+            native = render_views(
+                cam_pos, extrinsics, centers.astype(np.float32),
+                radii.astype(np.float32), colors.astype(np.float32),
+                self.h, self.w,
+            )
+        if native is not None:
+            imgs, all_rays = native
+        else:
+            all_rays = np.stack(
+                [
+                    camera_rays_from_extrinsic(extrinsics[i], cam_pos[i], self.w, self.h)
+                    for i in range(NV)
+                ]
+            )
+            imgs = np.stack([_render(cam_pos[i], all_rays[i], spheres) for i in range(NV)])
 
         input_idx = rng.choice(NV, size=cfg.num_input_views, replace=False)
         if cfg.reconstruction:
