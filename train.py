@@ -164,6 +164,20 @@ def main():
     )
     rng = jax.random.PRNGKey(cfg.seed)
 
+    # Preemption-safe save: on SIGTERM/SIGINT finish the current step, write
+    # the rolling checkpoint, then exit (the reference only supports
+    # restart-based recovery from its periodic saves, train.py:221-235).
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _on_signal(signum, frame):
+        print(f"Signal {signum} received — checkpointing before exit.")
+        stop_requested["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     wandb_run = None
     if args.wandb and is_main:
         try:
@@ -251,6 +265,11 @@ def main():
                 )
                 if wandb_run is not None:
                     wandb_run.log({"loss": loss, "lr": lr, "t": time_elapsed}, step=it)
+
+            if stop_requested["flag"]:
+                ckpt.save("latest", state, scalars_out)
+                print("Preemption checkpoint saved. Exiting.")
+                return
 
             if it >= max_it:
                 print("Iteration limit reached. Exiting.")
