@@ -104,7 +104,7 @@ def main():
                 H,
                 W,
                 target_transform=np.asarray(batch.target_transforms[:, v]),
-                chunk=cfg.data.num_points,
+                chunk=16384,
             )  # [1, H, W, 3]
             gt = np.asarray(batch.target_pixels[:, v]).reshape(1, H, W, 3)
             mse = float(np.mean((pred - gt) ** 2))
