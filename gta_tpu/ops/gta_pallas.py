@@ -198,12 +198,88 @@ def _make_kernel(descs, n_tabs, v_transform, scale, tk_actual, block_k):
     return kernel
 
 
+def _make_kernel_singlepass(descs, n_tabs, v_transform, scale, tk_actual):
+    """Whole-KV-in-VMEM variant: grid (B, H, nq), one softmax pass.
+
+    GTA sequence lengths are short (<= ~1280 keys after padding), so the
+    entire transformed K/V block fits VMEM; this removes the online-softmax
+    bookkeeping and the per-(iq,ik) K/V re-transform of the blockwise path.
+    """
+
+    def kernel(*refs):
+        q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+        qtab_refs = refs[3 : 3 + n_tabs]
+        ktab_refs = refs[3 + n_tabs : 3 + 2 * n_tabs]
+        otab_refs = refs[3 + 2 * n_tabs : 3 + 3 * n_tabs]
+        o_ref = refs[3 + 3 * n_tabs]
+
+        qtabs = [r[0].astype(jnp.float32) for r in qtab_refs]
+        ktabs = [r[0].astype(jnp.float32) for r in ktab_refs]
+
+        qt = _apply_blocks(q_ref[0, 0].astype(jnp.float32), qtabs, descs)
+        kt = _apply_blocks(k_ref[0, 0].astype(jnp.float32), ktabs, descs)
+        v = v_ref[0, 0].astype(jnp.float32)
+        vt = _apply_blocks(v, ktabs, descs) if v_transform else v
+
+        s = (
+            jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # [bq, Tk_p]
+        key_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_pos < tk_actual, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        o = jax.lax.dot_general(
+            p, vt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) / jnp.sum(p, axis=-1, keepdims=True)
+        if v_transform:
+            otabs = [r[0].astype(jnp.float32) for r in otab_refs]
+            o = _apply_blocks(o, otabs, descs)
+        o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+
+    return kernel
+
+
+# whole-KV single-pass kernel used when padded key length fits VMEM
+_SINGLEPASS_MAX_TK = 2048
+
+
 def _fused_call(q, k, v, qtabs, ktabs, otabs, descs, v_transform, scale,
                 tk_actual, block_q, block_k, interpret=False):
     """q [B,H,Tq,C] / k,v [B,H,Tk,C] (all padded); tables [B, T, F]."""
     B, H, Tq, C = q.shape
     Tk = k.shape[2]
     n_tabs = len(qtabs)
+
+    if Tk <= _SINGLEPASS_MAX_TK:
+        grid = (B, H, Tq // block_q)
+        qspec = pl.BlockSpec((1, 1, block_q, C), lambda b, h, iq: (b, h, iq, 0))
+        kspec = pl.BlockSpec((1, 1, Tk, C), lambda b, h, iq: (b, h, 0, 0))
+
+        def tabspec1(t, block, qside):
+            if qside:
+                return pl.BlockSpec((1, block, t.shape[-1]), lambda b, h, iq: (b, iq, 0))
+            return pl.BlockSpec((1, block, t.shape[-1]), lambda b, h, iq: (b, 0, 0))
+
+        in_specs = (
+            [qspec, kspec, kspec]
+            + [tabspec1(t, block_q, True) for t in qtabs]
+            + [tabspec1(t, Tk, False) for t in ktabs]
+            + [tabspec1(t, block_q, True) for t in otabs]
+        )
+        out_spec = pl.BlockSpec((1, 1, block_q, C), lambda b, h, iq: (b, h, iq, 0))
+        kernel = _make_kernel_singlepass(descs, n_tabs, v_transform, scale, tk_actual)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            interpret=interpret,
+        )(q, k, v, *qtabs, *ktabs, *otabs)
+
     grid = (B, H, Tq // block_q, Tk // block_k)
 
     qspec = pl.BlockSpec((1, 1, block_q, C), lambda b, h, iq, ik: (b, h, iq, 0))
