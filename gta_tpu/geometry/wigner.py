@@ -115,11 +115,14 @@ def _degree_tables(l: int):
         zsign = -1.0
     else:
         raise AssertionError(f"z-rotation structure mismatch at degree {l}")
+    # Cache NUMPY arrays only: jnp constants created during a jit trace are
+    # trace-tied tracers in recent JAX and must not outlive the trace
+    # (caching one raised UnexpectedTracerError on the first SO(3) user).
     return (
-        jnp.asarray(Wr, dtype=jnp.float32),
-        jnp.asarray(Ediag, dtype=jnp.float32),
-        jnp.asarray(Eanti, dtype=jnp.float32),
-        jnp.asarray(ms, dtype=jnp.float32),
+        np.asarray(Wr, dtype=np.float32),
+        np.asarray(Ediag, dtype=np.float32),
+        np.asarray(Eanti, dtype=np.float32),
+        np.asarray(ms, dtype=np.float32),
         zsign,
     )
 
@@ -130,7 +133,9 @@ _PREC = jax.lax.Precision.HIGHEST  # tiny matrices; keep full fp32 on TPU
 def z_rot_mat(angle: jnp.ndarray, l: int) -> jnp.ndarray:
     """Real z-rotation representation matrix, [..., 2l+1, 2l+1]."""
     _, Ediag, Eanti, ms, zsign = _degree_tables(l)
-    ms = ms.astype(angle.dtype)
+    ms = jnp.asarray(ms, dtype=angle.dtype)
+    Ediag = jnp.asarray(Ediag)
+    Eanti = jnp.asarray(Eanti)
     th = angle[..., None] * ms  # [..., n]
     return jnp.einsum("...a,aij->...ij", jnp.cos(th), Ediag, precision=_PREC) + zsign * jnp.einsum(
         "...a,aij->...ij", jnp.sin(th), Eanti, precision=_PREC
@@ -139,7 +144,7 @@ def z_rot_mat(angle: jnp.ndarray, l: int) -> jnp.ndarray:
 
 def _y_rot_real(beta: jnp.ndarray, l: int) -> jnp.ndarray:
     """Real rep of Ry(beta): B(beta) = U d^l(beta) U^H, [..., 2l+1, 2l+1]."""
-    Wr, *_ = _degree_tables(l)
+    Wr = jnp.asarray(_degree_tables(l)[0])
     ch = jnp.cos(beta / 2.0)
     sh = jnp.sin(beta / 2.0)
     basis = jnp.stack([(ch**p) * (sh ** (2 * l - p)) for p in range(2 * l + 1)], -1)

@@ -128,3 +128,23 @@ def test_gimbal_lock(rng):
         np.testing.assert_allclose(
             np.asarray(D_ab[l]), np.asarray(D_a[l]) @ np.asarray(D_b[l]), atol=1e-3
         )
+
+
+def test_first_call_inside_jit(rng):
+    """Degree tables must be safe to build inside a jit trace (regression:
+    lru-cached jnp constants created under trace leaked as tracers)."""
+    from gta_tpu.geometry import wigner
+
+    wigner._degree_tables.cache_clear()
+    R = jnp.asarray(random_rotation(rng, 4), jnp.float32)
+
+    import jax
+
+    @jax.jit
+    def f(R):
+        return wigner_d_matrices(2, R)[2]
+
+    a = np.asarray(f(R))
+    b = np.asarray(f(R))  # second call reuses the now-populated cache
+    np.testing.assert_allclose(a, b, atol=0)
+    assert np.isfinite(a).all()
