@@ -32,6 +32,7 @@ def main():
     parser.add_argument("--full-scale", action="store_true")
     parser.add_argument("--print-model", action="store_true")
     parser.add_argument("--synthetic", action="store_true", help="use synthetic scenes")
+    parser.add_argument("--batch-size", type=int, default=None, help="override global batch size")
     parser.add_argument(
         "--speed_test",
         type=int,
@@ -97,6 +98,10 @@ def main():
         out_dir = os.path.join(out_dir, f"seed{args.seed}")
     os.makedirs(out_dir, exist_ok=True)
 
+    if args.batch_size is not None:
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training, batch_size=args.batch_size)
+        )
     t_cfg = cfg.training
     global_batch = t_cfg.batch_size
     if args.speed_test:
