@@ -198,32 +198,37 @@ def _make_kernel(descs, n_tabs, v_transform, scale, tk_actual, block_k):
     return kernel
 
 
-def _make_kernel_singlepass(descs, n_tabs, v_transform, scale, tk_actual):
+def _make_kernel_singlepass(descs, n_tabs, v_transform, scale, tk_actual,
+                            mxu_bf16=True):
     """Whole-KV-in-VMEM variant: grid (B, H, nq), one softmax pass.
 
     GTA sequence lengths are short (<= ~1280 keys after padding), so the
-    entire transformed K/V block fits VMEM; this removes the online-softmax
-    bookkeeping and the per-(iq,ik) K/V re-transform of the blockwise path.
+    entire K/V block fits VMEM. K/V arrive PRE-TRANSFORMED (the k-side rep
+    application is tiny and runs in XLA where it fuses into the projection
+    epilogues; doing it in-kernel repeated it for every q block). The
+    kernel fuses the q-side transform, attention, and the inverse output
+    rep — the work proportional to the large query axis.
     """
 
     def kernel(*refs):
-        q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+        q_ref, kt_ref, vt_ref = refs[0], refs[1], refs[2]
         qtab_refs = refs[3 : 3 + n_tabs]
-        ktab_refs = refs[3 + n_tabs : 3 + 2 * n_tabs]
-        otab_refs = refs[3 + 2 * n_tabs : 3 + 3 * n_tabs]
-        o_ref = refs[3 + 3 * n_tabs]
+        otab_refs = refs[3 + n_tabs : 3 + 2 * n_tabs]
+        o_ref = refs[3 + 2 * n_tabs]
 
         qtabs = [r[0].astype(jnp.float32) for r in qtab_refs]
-        ktabs = [r[0].astype(jnp.float32) for r in ktab_refs]
-
         qt = _apply_blocks(q_ref[0, 0].astype(jnp.float32), qtabs, descs)
-        kt = _apply_blocks(k_ref[0, 0].astype(jnp.float32), ktabs, descs)
-        v = v_ref[0, 0].astype(jnp.float32)
-        vt = _apply_blocks(v, ktabs, descs) if v_transform else v
+        kt = kt_ref[0, 0].astype(jnp.float32)
+        vt = vt_ref[0, 0].astype(jnp.float32)
 
+        # bf16 MXU operands with f32 accumulation — the same effective
+        # precision as XLA's default matmul policy on TPU (true-fp32 MXU
+        # passes were the bulk of the kernel's slowdown)
+        md = jnp.bfloat16 if mxu_bf16 else jnp.float32
         s = (
             jax.lax.dot_general(
-                qt, kt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                qt.astype(md), kt.astype(md), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
             * scale
         )  # [bq, Tk_p]
@@ -232,7 +237,8 @@ def _make_kernel_singlepass(descs, n_tabs, v_transform, scale, tk_actual):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         o = jax.lax.dot_general(
-            p, vt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(md), vt.astype(md), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) / jnp.sum(p, axis=-1, keepdims=True)
         if v_transform:
             otabs = [r[0].astype(jnp.float32) for r in otab_refs]
@@ -240,6 +246,39 @@ def _make_kernel_singlepass(descs, n_tabs, v_transform, scale, tk_actual):
         o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
 
     return kernel
+
+
+def _apply_blocks_xla(x, tabs, descs: Tuple[BlockDesc, ...]):
+    """XLA-side table application on [B, H, T, C] (permuted layout);
+    tabs[i]: [B, T, F]. Mirrors _apply_blocks semantics."""
+    segments = []
+    cursor = 0
+    for desc, tab in zip(descs, tabs):
+        d, w, off = desc.d, desc.w, desc.off
+        if off > cursor:
+            segments.append(x[..., cursor:off])
+        t = tab[:, None]  # [B, 1, T, F]
+        if desc.kind == "rotor":
+            cos, sin = t[..., :w], t[..., w:]
+            x0 = x[..., off : off + w]
+            x1 = x[..., off + w : off + 2 * w]
+            block = jnp.concatenate([cos * x0 - sin * x1, sin * x0 + cos * x1], -1)
+        else:
+            cols = []
+            for i in range(d):
+                acc = None
+                for j in range(d):
+                    term = t[..., i * d + j : i * d + j + 1] * x[
+                        ..., off + j * w : off + (j + 1) * w
+                    ]
+                    acc = term if acc is None else acc + term
+                cols.append(acc)
+            block = jnp.concatenate(cols, -1)
+        segments.append(block.astype(x.dtype))
+        cursor = off + d * w
+    if cursor < x.shape[-1]:
+        segments.append(x[..., cursor:])
+    return jnp.concatenate(segments, -1) if len(segments) > 1 else segments[0]
 
 
 # whole-KV single-pass kernel used when padded key length fits VMEM
@@ -254,23 +293,29 @@ def _fused_call(q, k, v, qtabs, ktabs, otabs, descs, v_transform, scale,
     n_tabs = len(qtabs)
 
     if Tk <= _SINGLEPASS_MAX_TK:
+        # K/V rep application in XLA (small, fuses upstream); kernel fuses
+        # the query-proportional work
+        kt = _apply_blocks_xla(k, ktabs, descs)
+        vt = _apply_blocks_xla(v, ktabs, descs) if v_transform else v
+
         grid = (B, H, Tq // block_q)
         qspec = pl.BlockSpec((1, 1, block_q, C), lambda b, h, iq: (b, h, iq, 0))
         kspec = pl.BlockSpec((1, 1, Tk, C), lambda b, h, iq: (b, h, 0, 0))
 
-        def tabspec1(t, block, qside):
-            if qside:
-                return pl.BlockSpec((1, block, t.shape[-1]), lambda b, h, iq: (b, iq, 0))
-            return pl.BlockSpec((1, block, t.shape[-1]), lambda b, h, iq: (b, 0, 0))
+        def tabspec1(t, block):
+            return pl.BlockSpec((1, block, t.shape[-1]), lambda b, h, iq: (b, iq, 0))
 
         in_specs = (
             [qspec, kspec, kspec]
-            + [tabspec1(t, block_q, True) for t in qtabs]
-            + [tabspec1(t, Tk, False) for t in ktabs]
-            + [tabspec1(t, block_q, True) for t in otabs]
+            + [tabspec1(t, block_q) for t in qtabs]
+            + [tabspec1(t, block_q) for t in otabs]
         )
         out_spec = pl.BlockSpec((1, 1, block_q, C), lambda b, h, iq: (b, h, iq, 0))
-        kernel = _make_kernel_singlepass(descs, n_tabs, v_transform, scale, tk_actual)
+        # interpret mode backs the CPU parity tests, which compare against
+        # the fp32 oracle — keep full precision there
+        kernel = _make_kernel_singlepass(
+            descs, n_tabs, v_transform, scale, tk_actual, mxu_bf16=not interpret
+        )
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -278,7 +323,7 @@ def _fused_call(q, k, v, qtabs, ktabs, otabs, descs, v_transform, scale,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             interpret=interpret,
-        )(q, k, v, *qtabs, *ktabs, *otabs)
+        )(q, kt, vt, *qtabs, *otabs)
 
     grid = (B, H, Tq // block_q, Tk // block_k)
 
