@@ -198,26 +198,83 @@ def _make_kernel(descs, n_tabs, v_transform, scale, tk_actual, block_k):
     return kernel
 
 
-def _make_kernel_singlepass(descs, n_tabs, v_transform, scale, tk_actual,
+def tables_to_planes(tabs, descs: Tuple[BlockDesc, ...], C: int):
+    """Re-express per-token block-diag transforms as full-width coefficient
+    planes: y[c] = sum_delta A_delta[c] * x[c + delta].
+
+    The in-kernel application then uses only lane-aligned full-width
+    multiply-adds (one rolled copy of x per distinct channel shift delta)
+    instead of d^2 sub-lane-width slices per group — the VPU-efficiency fix
+    for the table application. Returns (deltas, planes [B, T, n_deltas*C]).
+    Identity is encoded on all channels outside desc regions (triv + pad).
+    """
+    B, T = tabs[0].shape[:2]
+    dtype = tabs[0].dtype
+    deltas = {0}
+    for desc in descs:
+        if desc.kind == "rotor":
+            deltas |= {desc.w, -desc.w}
+        else:
+            deltas |= {(j - i) * desc.w for i in range(desc.d) for j in range(desc.d)}
+    deltas = tuple(sorted(deltas))
+    idx = {d: n for n, d in enumerate(deltas)}
+
+    covered = np.zeros(C, bool)
+    for desc in descs:
+        covered[desc.off : desc.off + desc.d * desc.w] = True
+    base0 = jnp.asarray(np.where(covered, 0.0, 1.0), dtype)  # identity elsewhere
+
+    planes = jnp.zeros((B, T, len(deltas), C), dtype)
+    planes = planes.at[:, :, idx[0], :].add(base0)
+    for desc, tab in zip(descs, tabs):
+        d, w, off = desc.d, desc.w, desc.off
+        if desc.kind == "rotor":
+            cos, sin = tab[..., :w], tab[..., w:]
+            planes = planes.at[:, :, idx[0], off : off + w].add(cos)
+            planes = planes.at[:, :, idx[0], off + w : off + 2 * w].add(cos)
+            planes = planes.at[:, :, idx[w], off : off + w].add(-sin)
+            planes = planes.at[:, :, idx[-w], off + w : off + 2 * w].add(sin)
+        else:
+            for i in range(d):
+                for j in range(d):
+                    coef = tab[..., i * d + j : i * d + j + 1]  # [B, T, 1]
+                    planes = planes.at[
+                        :, :, idx[(j - i) * w], off + i * w : off + (i + 1) * w
+                    ].add(jnp.broadcast_to(coef, (B, T, w)))
+    return deltas, planes.reshape(B, T, len(deltas) * C)
+
+
+def _apply_planes(x, plane_tab, deltas, C):
+    """y = sum_delta A_delta * x[. + delta] with full-width lane ops.
+
+    x: [b, C]; plane_tab: [b, n_deltas*C]. Static jnp.roll lowers to two
+    full-width slices + concat — no sub-lane waste.
+    """
+    acc = None
+    for n, delta in enumerate(deltas):
+        xs = x if delta == 0 else jnp.roll(x, -delta, axis=1)
+        term = plane_tab[:, n * C : (n + 1) * C] * xs
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _make_kernel_singlepass(deltas, C, v_transform, scale, tk_actual,
                             mxu_bf16=True):
     """Whole-KV-in-VMEM variant: grid (B, H, nq), one softmax pass.
 
     GTA sequence lengths are short (<= ~1280 keys after padding), so the
     entire K/V block fits VMEM. K/V arrive PRE-TRANSFORMED (the k-side rep
     application is tiny and runs in XLA where it fuses into the projection
-    epilogues; doing it in-kernel repeated it for every q block). The
-    kernel fuses the q-side transform, attention, and the inverse output
-    rep — the work proportional to the large query axis.
+    epilogues). The kernel fuses the q-side transform, attention, and the
+    inverse output rep — the work proportional to the large query axis —
+    using full-width coefficient planes (see tables_to_planes).
     """
 
-    def kernel(*refs):
-        q_ref, kt_ref, vt_ref = refs[0], refs[1], refs[2]
-        qtab_refs = refs[3 : 3 + n_tabs]
-        otab_refs = refs[3 + n_tabs : 3 + 2 * n_tabs]
-        o_ref = refs[3 + 2 * n_tabs]
-
-        qtabs = [r[0].astype(jnp.float32) for r in qtab_refs]
-        qt = _apply_blocks(q_ref[0, 0].astype(jnp.float32), qtabs, descs)
+    def kernel(q_ref, kt_ref, vt_ref, qplane_ref, oplane_ref, o_ref):
+        qt = _apply_planes(
+            q_ref[0, 0].astype(jnp.float32), qplane_ref[0].astype(jnp.float32),
+            deltas, C,
+        )
         kt = kt_ref[0, 0].astype(jnp.float32)
         vt = vt_ref[0, 0].astype(jnp.float32)
 
@@ -241,8 +298,7 @@ def _make_kernel_singlepass(descs, n_tabs, v_transform, scale, tk_actual,
             preferred_element_type=jnp.float32,
         ) / jnp.sum(p, axis=-1, keepdims=True)
         if v_transform:
-            otabs = [r[0].astype(jnp.float32) for r in otab_refs]
-            o = _apply_blocks(o, otabs, descs)
+            o = _apply_planes(o, oplane_ref[0].astype(jnp.float32), deltas, C)
         o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
 
     return kernel
@@ -294,36 +350,35 @@ def _fused_call(q, k, v, qtabs, ktabs, otabs, descs, v_transform, scale,
 
     if Tk <= _SINGLEPASS_MAX_TK:
         # K/V rep application in XLA (small, fuses upstream); kernel fuses
-        # the query-proportional work
+        # the query-proportional work via full-width coefficient planes
         kt = _apply_blocks_xla(k, ktabs, descs)
         vt = _apply_blocks_xla(v, ktabs, descs) if v_transform else v
+        deltas, qplanes = tables_to_planes(qtabs, descs, C)
+        if v_transform:
+            _, oplanes = tables_to_planes(otabs, descs, C)
+        else:
+            oplanes = qplanes  # unused by the kernel
 
         grid = (B, H, Tq // block_q)
         qspec = pl.BlockSpec((1, 1, block_q, C), lambda b, h, iq: (b, h, iq, 0))
         kspec = pl.BlockSpec((1, 1, Tk, C), lambda b, h, iq: (b, h, 0, 0))
-
-        def tabspec1(t, block):
-            return pl.BlockSpec((1, block, t.shape[-1]), lambda b, h, iq: (b, iq, 0))
-
-        in_specs = (
-            [qspec, kspec, kspec]
-            + [tabspec1(t, block_q) for t in qtabs]
-            + [tabspec1(t, block_q) for t in otabs]
+        pspec = pl.BlockSpec(
+            (1, block_q, qplanes.shape[-1]), lambda b, h, iq: (b, iq, 0)
         )
         out_spec = pl.BlockSpec((1, 1, block_q, C), lambda b, h, iq: (b, h, iq, 0))
         # interpret mode backs the CPU parity tests, which compare against
         # the fp32 oracle — keep full precision there
         kernel = _make_kernel_singlepass(
-            descs, n_tabs, v_transform, scale, tk_actual, mxu_bf16=not interpret
+            deltas, C, v_transform, scale, tk_actual, mxu_bf16=not interpret
         )
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=in_specs,
+            in_specs=[qspec, kspec, kspec, pspec, pspec],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             interpret=interpret,
-        )(q, kt, vt, *qtabs, *otabs)
+        )(q, kt, vt, qplanes, oplanes)
 
     grid = (B, H, Tq // block_q, Tk // block_k)
 
