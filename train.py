@@ -51,6 +51,9 @@ def main():
     )
     args = parser.parse_args()
 
+    if not os.path.exists(args.config):
+        parser.error(f"config file not found: {args.config}")
+
     # multi-host rendezvous (no-op single host)
     import jax
 
