@@ -217,31 +217,57 @@ def tables_to_planes(tabs, descs: Tuple[BlockDesc, ...], C: int):
         else:
             deltas |= {(j - i) * desc.w for i in range(desc.d) for j in range(desc.d)}
     deltas = tuple(sorted(deltas))
-    idx = {d: n for n, d in enumerate(deltas)}
 
-    covered = np.zeros(C, bool)
-    for desc in descs:
-        covered[desc.off : desc.off + desc.d * desc.w] = True
-    base0 = jnp.asarray(np.where(covered, 0.0, 1.0), dtype)  # identity elsewhere
+    # Assemble each delta-plane as a single concatenation over disjoint
+    # channel segments (sequential scatter updates cost ~0.5 ms of small
+    # kernels per call at flagship shapes).
+    desc_list = sorted(zip(descs, tabs), key=lambda p: p[0].off)
 
-    planes = jnp.zeros((B, T, len(deltas), C), dtype)
-    planes = planes.at[:, :, idx[0], :].add(base0)
-    for desc, tab in zip(descs, tabs):
-        d, w, off = desc.d, desc.w, desc.off
+    def segment(desc, tab, delta):
+        """[B, T, d*w] coefficients of this desc's region for a given delta."""
+        d, w = desc.d, desc.w
         if desc.kind == "rotor":
             cos, sin = tab[..., :w], tab[..., w:]
-            planes = planes.at[:, :, idx[0], off : off + w].add(cos)
-            planes = planes.at[:, :, idx[0], off + w : off + 2 * w].add(cos)
-            planes = planes.at[:, :, idx[w], off : off + w].add(-sin)
-            planes = planes.at[:, :, idx[-w], off + w : off + 2 * w].add(sin)
-        else:
-            for i in range(d):
-                for j in range(d):
-                    coef = tab[..., i * d + j : i * d + j + 1]  # [B, T, 1]
-                    planes = planes.at[
-                        :, :, idx[(j - i) * w], off + i * w : off + (i + 1) * w
-                    ].add(jnp.broadcast_to(coef, (B, T, w)))
-    return deltas, planes.reshape(B, T, len(deltas) * C)
+            zero = jnp.zeros_like(cos)
+            if delta == 0:
+                return jnp.concatenate([cos, cos], -1)
+            if delta == w:
+                return jnp.concatenate([-sin, zero], -1)
+            if delta == -w:
+                return jnp.concatenate([zero, sin], -1)
+            return None
+        parts = []
+        any_nonzero = False
+        for i in range(d):
+            j = i + delta // w if delta % w == 0 else None
+            if j is not None and 0 <= j < d:
+                coef = tab[..., i * d + j : i * d + j + 1]
+                parts.append(jnp.broadcast_to(coef, (B, T, w)))
+                any_nonzero = True
+            else:
+                parts.append(jnp.zeros((B, T, w), dtype))
+        return jnp.concatenate(parts, -1) if any_nonzero else None
+
+    per_delta = []
+    for delta in deltas:
+        segs = []
+        cursor = 0
+        for desc, tab in desc_list:
+            if desc.off > cursor:  # triv/gap: identity on delta 0
+                gap = desc.off - cursor
+                fill = jnp.ones((B, T, gap), dtype) if delta == 0 else jnp.zeros((B, T, gap), dtype)
+                segs.append(fill)
+            s = segment(desc, tab, delta)
+            dw = desc.d * desc.w
+            segs.append(s if s is not None else jnp.zeros((B, T, dw), dtype))
+            cursor = desc.off + dw
+        if cursor < C:  # channel padding: identity on delta 0
+            gap = C - cursor
+            fill = jnp.ones((B, T, gap), dtype) if delta == 0 else jnp.zeros((B, T, gap), dtype)
+            segs.append(fill)
+        per_delta.append(jnp.concatenate(segs, -1))
+    planes = jnp.concatenate(per_delta, -1)  # [B, T, n_deltas*C]
+    return deltas, planes
 
 
 def _apply_planes(x, plane_tab, deltas, C):
