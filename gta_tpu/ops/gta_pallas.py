@@ -574,9 +574,11 @@ def _fused_op_fwd(q, k, v, reps, trans_coeff, args, scale, interpret):
 
 def _fused_op_bwd(args, scale, interpret, res, g):
     q, k, v, reps, trans_coeff = res
-    # stock flash bwd on TPU; plain XLA attention in interpret/test mode
+    # Plain XLA attention in the backward composition: measured faster than
+    # the stock-flash VJP at GTA sequence lengths (interleaved train-step
+    # bench: flash-based bwd doubled the step).
     fn = functools.partial(
-        _xla_composition, args=args, scale=scale, use_flash=not interpret
+        _xla_composition, args=args, scale=scale, use_flash=False
     )
     _, vjp = jax.vjp(fn, q, k, v, reps, trans_coeff)
     return vjp(g)
