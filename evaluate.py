@@ -83,11 +83,19 @@ def main():
 
     lpips_vgg = lpips_alex = None
     try:
-        from gta_tpu.utils.metrics import LPIPS
+        # pure-JAX LPIPS: weights exported via scripts/export_lpips_weights.py
+        # and pointed to by LPIPS_WEIGHTS (utils/lpips_jax.py)
+        from gta_tpu.utils.lpips_jax import LPIPSJax
 
-        lpips_vgg, lpips_alex = LPIPS("vgg"), LPIPS("alex")
-    except Exception as e:
-        print(f"LPIPS unavailable ({e}); reporting PSNR/SSIM/MSE only")
+        lpips_vgg = LPIPSJax()
+        print("Using JAX LPIPS (VGG) with exported weights.")
+    except Exception:
+        try:
+            from gta_tpu.utils.metrics import LPIPS
+
+            lpips_vgg, lpips_alex = LPIPS("vgg"), LPIPS("alex")
+        except Exception as e:
+            print(f"LPIPS unavailable ({e}); reporting PSNR/SSIM/MSE only")
 
     n = len(dataset) if args.max_scenes is None else min(args.max_scenes, len(dataset))
     psnrs, ssims, mses, lp_v, lp_a = [], [], [], [], []
@@ -96,17 +104,33 @@ def main():
         if i >= n:
             break
         batch = jax.tree.map(jnp.asarray, collate([item]))
-        Nt = batch.target_transforms.shape[1]
+        transform_mode = batch.target_transforms is not None
+        if transform_mode:
+            Nt = batch.target_transforms.shape[1]
+        else:
+            # non-transform items are flat [1, Nt*H*W, 3] in view order
+            Nt = batch.target_rays.shape[1] // (H * W)
         for v in range(Nt):
-            pred = trainer.render_image(
-                state.params,
-                batch,
-                H,
-                W,
-                target_transform=np.asarray(batch.target_transforms[:, v]),
-                chunk=16384,
-            )  # [1, H, W, 3]
-            gt = np.asarray(batch.target_pixels[:, v]).reshape(1, H, W, 3)
+            if transform_mode:
+                pred = trainer.render_image(
+                    state.params,
+                    batch,
+                    H,
+                    W,
+                    target_transform=np.asarray(batch.target_transforms[:, v]),
+                    chunk=16384,
+                )  # [1, H, W, 3]
+                gt = np.asarray(batch.target_pixels[:, v]).reshape(1, H, W, 3)
+            else:
+                sl = slice(v * H * W, (v + 1) * H * W)
+                pred = trainer.render_rays(
+                    state.params,
+                    batch,
+                    np.asarray(batch.target_rays[:, sl]),
+                    np.asarray(batch.target_camera_pos[:, sl]),
+                    chunk=16384,
+                ).reshape(1, H, W, 3)
+                gt = np.asarray(batch.target_pixels[:, sl]).reshape(1, H, W, 3)
             mse = float(np.mean((pred - gt) ** 2))
             mses.append(mse)
             psnrs.append(-10.0 * np.log10(mse))

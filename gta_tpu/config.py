@@ -90,9 +90,7 @@ class GTAArgs:
         if fd.se3 > 0 and self.euclid_sim:
             assert fd.se3 % 3 == 0, "euclid f_dims.se3 must be divisible by 3"
         if fd.so3 > 0:
-            total = sum(2 * d + 1 for d in range(1, self.so3 + 1))
             assert self.so3 >= 1, "so3 degree count must be >= 1 when f_dims.so3 > 0"
-            assert fd.so3 % total == 0 or True  # reshape merges tokens; any multiple works
         if fd.t2 > 0:
             assert fd.t2 % 3 == 0, "f_dims.t2 must be divisible by 3"
 
@@ -120,11 +118,11 @@ class AttnConfig:
     # rpe (learned-rep "invatt_directsum")
     rpe: bool = False
     rpe_so2: int = 0
-    # fused blockwise attention (Pallas); set by the runtime on TPU
+    # flash (no attention-matrix materialization) attention via the Pallas
+    # single-pass core; set by the runtime on TPU
     flash: bool = False
-    # fully-fused GTA kernel (ops/gta_pallas.py) instead of XLA transform +
-    # flash attention; opt-in (training.flash = 'fused') — currently slower
-    # than the XLA path on v5e (sub-lane block math), kept for optimization
+    # GTA through ops/gta_pallas.fused_gta_attention (XLA rep transforms +
+    # Pallas flash core with fused backward) — the TPU default ('auto')
     fused: bool = False
 
     @property
@@ -212,6 +210,8 @@ class DataConfig:
     avoid_zerocamorg: bool = False
     height: int = 240
     width: int = 320
+    # iterable-stream shuffle buffer (reference multishapenet.py:140-141)
+    shuffle: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -383,6 +383,7 @@ def _parse_data(d: dict) -> DataConfig:
         avoid_zerocamorg=bool(kw.get("avoid_zerocamorg", False)),
         height=int(kw.get("height", h)),
         width=int(kw.get("width", w)),
+        shuffle=int(kw["shuffle"]) if kw.get("shuffle") else None,
     )
 
 

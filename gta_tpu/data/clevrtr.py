@@ -124,27 +124,39 @@ class CLEVRTR:
         if max_len is not None:
             paths = paths[:max_len]
         self.metadata_paths = paths
-        self.rng = np.random.RandomState(seed) if seed is not None else np.random
+        # Per-item deterministic sampling: each __getitem__ derives its own
+        # RandomState from (seed, epoch, idx), so the loader's thread pool
+        # cannot perturb determinism and view selection still varies across
+        # epochs (the reference advances a worker-global np.random instead).
+        self.seed = 0 if seed is None else int(seed)
+        self.epoch = 0
+
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
 
     def __len__(self):
         return len(self.metadata_paths)
 
     def __getitem__(self, idx: int) -> dict:
         cfg = self.cfg
+        rng = np.random.RandomState(
+            (self.seed * 1000003 + self.epoch * 7919 + idx) % (1 << 31)
+        )
         meta_path = self.metadata_paths[idx]
         scene_idx = int(os.path.basename(meta_path).strip(".json"))
         with open(meta_path) as f:
             metadata = json.load(f)
 
         NV = cfg.num_views
-        input_idx = self.rng.choice(NV, size=cfg.num_input_views, replace=False)
+        input_idx = rng.choice(NV, size=cfg.num_input_views, replace=False)
         if cfg.reconstruction:
             target_idx = input_idx
         elif cfg.overlap:
-            target_idx = self.rng.choice(NV, size=cfg.num_target_views, replace=False)
+            target_idx = rng.choice(NV, size=cfg.num_target_views, replace=False)
         else:
             rest = sorted(set(range(NV)) - set(input_idx))
-            target_idx = self.rng.choice(rest, size=cfg.num_target_views, replace=False)
+            target_idx = rng.choice(rest, size=cfg.num_target_views, replace=False)
 
         imgs = np.stack(
             [
@@ -174,7 +186,7 @@ class CLEVRTR:
 
         if cfg.camera_noise > 0:
             for i in input_idx[1:]:
-                extrinsics[i] = se3_noise(extrinsics[i], cfg.camera_noise, self.rng)
+                extrinsics[i] = se3_noise(extrinsics[i], cfg.camera_noise, rng)
 
         all_rays = np.stack(
             [
@@ -218,7 +230,7 @@ class CLEVRTR:
             t_pix = tgt_pixels.reshape(-1, 3)
             t_msk = tgt_masks.reshape(-1, self.NUM_MAX_ENTITIES)
             if not self.full_scale:
-                sel = np.random.choice(len(t_pix), size=cfg.num_points, replace=False)
+                sel = rng.choice(len(t_pix), size=cfg.num_points, replace=False)
                 t_pix, t_rays, t_pos, t_msk = t_pix[sel], t_rays[sel], t_pos[sel], t_msk[sel]
             if cfg.downsample:
                 input_images = np.stack([_downsample(im, cfg.downsample) for im in input_images])
@@ -247,7 +259,7 @@ class CLEVRTR:
             n = self.h * self.w
             px, ms, rs, cp, co = [], [], [], [], []
             for i in range(cfg.num_target_views):
-                sel = np.random.choice(n, size=ppv, replace=n < ppv)
+                sel = rng.choice(n, size=ppv, replace=n < ppv)
                 px.append(tgt_pixels[i, sel])
                 ms.append(tgt_masks[i, sel])
                 rs.append(base_rays[sel])

@@ -4,7 +4,9 @@ Map-style datasets are batched with a thread pool (image decode/raytrace is
 numpy/PIL work that releases the GIL) and the next batch is prefetched
 while the accelerator runs the current step — the host-side analogue of
 the reference's pinned-memory DataLoader workers (train.py:149-157).
-Iterable datasets (MSN) are consumed directly with the same prefetch.
+Iterable datasets (MSN) are consumed in stream order on a background
+thread with the same bounded prefetch queue; per-item preprocessing
+parallelism lives inside the dataset (msn.MultiShapeNet prep pool).
 """
 
 from __future__ import annotations
@@ -47,6 +49,8 @@ class Loader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         if self._iterable:
@@ -103,14 +107,40 @@ class Loader:
                     t.join(timeout=0.1)
 
     def _iter_iterable(self) -> Iterator[SceneBatch]:
-        items = []
-        for item in self.dataset:
-            items.append(item)
-            if len(items) == self.batch_size:
-                yield collate(items)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
                 items = []
-        if items and not self.drop_last:
-            yield collate(items)
+                for item in self.dataset:
+                    if stop.is_set():
+                        return
+                    items.append(item)
+                    if len(items) == self.batch_size:
+                        q.put(collate(items))
+                        items = []
+                if items and not self.drop_last:
+                    q.put(collate(items))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.1)
 
     def __iter__(self) -> Iterator[SceneBatch]:
         return self._iter_iterable() if self._iterable else self._iter_map()

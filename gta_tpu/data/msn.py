@@ -191,8 +191,10 @@ class MultiShapeNet:
         self.full_scale = full_scale
         self.coord = make_2dcoord(self.H, self.W)
         self.render_kwargs = {"min_dist": 0.0, "max_dist": 20.0}
-        self.rng = np.random.RandomState(seed) if seed is not None else np.random
+        self.seed = 0 if seed is None else int(seed)
         self.shuffle = shuffle
+        self._skip = 0
+        self.prep_workers = 4
 
         try:
             import sunds  # noqa: F401
@@ -219,7 +221,33 @@ class MultiShapeNet:
     def __len__(self):
         return self.num_items
 
+    def skip(self, n: int):
+        """Skip the first n scenes of this host's stream on the next
+        iteration — stream-position resume (reference multishapenet.py:
+        316-320, which the reference never wires into training; train.py
+        here calls it on checkpoint restore)."""
+        self._skip += int(n)
+
+    def _prep(self, i: int, data: dict) -> dict:
+        # per-item rng keyed on (seed, stream position): deterministic and
+        # safe under the parallel prep pool
+        rng = np.random.RandomState((self.seed * 1000003 + i) % (1 << 31))
+        return prep_scene(
+            self.cfg,
+            data["color_image"],
+            data["ray_origins"],
+            data["ray_directions"],
+            data.get("instance_image"),
+            int(data["scene_name"][6:]),
+            rng,
+            self.coord,
+            self.full_scale,
+        )
+
     def __iter__(self):
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
         import jax
 
         n_shard = jax.process_count()
@@ -230,17 +258,22 @@ class MultiShapeNet:
             if shardable != self.num_items:
                 ds = ds.take(shardable)
             ds = ds.shard(num_shards=n_shard, index=index)
+        if self._skip:
+            ds = ds.skip(self._skip)
         if self.shuffle and self.mode == "train":
             ds = ds.shuffle(self.shuffle)
-        for data in ds.as_numpy_iterator():
-            yield prep_scene(
-                self.cfg,
-                data["color_image"],
-                data["ray_origins"],
-                data["ray_directions"],
-                data.get("instance_image"),
-                int(data["scene_name"][6:]),
-                self.rng,
-                self.coord,
-                self.full_scale,
-            )
+
+        # Parallel prep_scene over a bounded in-flight window (in stream
+        # order): the numpy geometry/sampling work is the per-item cost and
+        # would otherwise starve the device — the analogue of the
+        # reference's world_size x num_workers loader parallelism
+        # (multishapenet.py:110-138) within one host process.
+        start = self._skip
+        with ThreadPoolExecutor(self.prep_workers) as pool:
+            window: collections.deque = collections.deque()
+            for i, data in enumerate(ds.as_numpy_iterator()):
+                window.append(pool.submit(self._prep, start + i, data))
+                if len(window) >= 2 * self.prep_workers:
+                    yield window.popleft().result()
+            while window:
+                yield window.popleft().result()

@@ -13,9 +13,12 @@ def get_dataset(mode: str, cfg: DataConfig, full_scale: bool = False, max_len=No
     if cfg.dataset == "clevrtr":
         from gta_tpu.data.clevrtr import CLEVRTR
 
-        return CLEVRTR(cfg, mode, full_scale=full_scale, max_len=max_len)
+        return CLEVRTR(cfg, mode, full_scale=full_scale, max_len=max_len, seed=seed)
     if cfg.dataset == "msn":
         from gta_tpu.data.msn import MultiShapeNet
 
-        return MultiShapeNet(cfg, mode, full_scale=full_scale, max_len=max_len)
+        return MultiShapeNet(
+            cfg, mode, full_scale=full_scale, max_len=max_len, seed=seed,
+            shuffle=cfg.shuffle,
+        )
     raise ValueError(f"unknown dataset {cfg.dataset}")

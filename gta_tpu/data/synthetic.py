@@ -154,7 +154,7 @@ class SyntheticScenes:
             # model through rays, not relative transforms.
             t_rays = rays_c[target_idx].reshape(-1, 3).astype(np.float32)
             t_pos = np.repeat(pos_c[target_idx], self.h * self.w, 0).astype(np.float32)
-            t_pix = tgt_pixels.reshape(-1, 3)
+            t_pix = imgs[target_idx].reshape(-1, 3)
             if not self.full_scale:
                 sel = rng.choice(len(t_pix), size=cfg.num_points, replace=False)
                 t_pix, t_rays, t_pos = t_pix[sel], t_rays[sel], t_pos[sel]

@@ -39,15 +39,19 @@ class Trainer:
 
     def __init__(self, cfg: Config, mesh=None):
         t = cfg.training
-        # 'auto' currently keeps the XLA einsum path: measured on v5e it beats
-        # both the stock-flash wrapper (padding/segment-id overhead at these
-        # sequence lengths) and the fused kernel (sub-lane block math) for
-        # the training shapes — 143ms vs 205ms vs ~390ms per batch-32 step.
-        # 'on'/'fused' remain opt-ins for kernel iteration.
-        if t.flash in ("on", "fused"):
+        # 'auto' resolves to the fused path on TPU: the single-pass flash
+        # core + fused recompute backward (ops/flash_core.py) beats the XLA
+        # einsum path on the full flagship train step (v5e, interleaved
+        # chained timing: 26.0 vs 29.2 ms at batch 8, 121.1 vs 129.6 ms at
+        # batch 32, fp32). 'off' keeps the XLA einsum path (also the CPU
+        # default — Pallas interpret mode is for parity tests, not speed).
+        flash_mode = t.flash
+        if flash_mode == "auto":
+            flash_mode = "fused" if jax.default_backend() == "tpu" else "off"
+        if flash_mode in ("on", "fused"):
             from gta_tpu.config import with_flash_attention
 
-            cfg = with_flash_attention(cfg, fused=t.flash == "fused")
+            cfg = with_flash_attention(cfg, fused=flash_mode == "fused")
         self.cfg = cfg
         self.dtype = jnp.bfloat16 if t.mixed_prec else jnp.float32
         self.model = build_model(cfg.model, dtype=self.dtype)
@@ -127,20 +131,43 @@ class Trainer:
     def eval_step(self, params, batch: SceneBatch) -> Dict[str, jnp.ndarray]:
         return self._eval_step(params, batch)
 
-    def evaluate(self, params, batches) -> Dict[str, float]:
+    def evaluate(self, params, batches, mesh=None) -> Dict[str, float]:
         """Aggregate eval over an iterable of SceneBatch.
+
+        mesh: shard each val batch over the data axis before the compiled
+        eval step (the reference shards validation exactly like training
+        via its DistributedSampler). Batches whose size does not divide the
+        device count fall back to replicated execution.
 
         Multi-host: per-host means are all-gathered and averaged with a
         deterministic (sorted) key order — the analogue of the reference's
         AVG all_reduce over sorted keys (common.py:80-102). Host shards see
         equal batch counts (loader truncation), so mean-of-means is exact.
+        Scene coverage is reported like reference trainer.py:55-58: unique
+        sceneids counted over the all-gathered id set.
         """
         acc: Dict[str, list] = {}
+        sceneids: list = []
         for batch in batches:
+            if mesh is not None:
+                from gta_tpu.parallel.mesh import shard_batch
+
+                n_data = mesh.shape.get("data", 1)
+                if batch.input_images.shape[0] % n_data == 0:
+                    batch = shard_batch(batch, mesh)
+            if batch.sceneid is not None:
+                sceneids.append(np.asarray(batch.sceneid).reshape(-1))
             out = self.eval_step(params, batch)
             for k, v in out.items():
                 acc.setdefault(k, []).append(np.asarray(v))
         local = {k: float(np.mean(np.concatenate(v))) for k, v in acc.items()}
+        if sceneids:
+            ids = np.concatenate(sceneids)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                ids = np.asarray(multihost_utils.process_allgather(ids)).reshape(-1)
+            print(f"Evaluated {len(np.unique(ids))} unique scenes.")
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
@@ -170,24 +197,67 @@ class Trainer:
         width: int,
         target_transform: Optional[jnp.ndarray] = None,
         chunk: int = 4096,
+        mesh=None,
     ) -> np.ndarray:
         """Full-frame render: encode once, decode rays in fixed-size chunks
         (static shapes => one compile), reference trainer.py:137-181.
 
-        target_transform: [B, 4, 4] relative camera for the novel view;
-        defaults to the canonical (identity) frame.
+        target_transform: [B, 4, 4] relative camera for the novel view
+        (a canonical-frame extrinsic, i.e. canonical->view map); defaults
+        to the canonical (identity) frame.
+
+        Transform-mode models (batch.target_transforms present) receive the
+        canonical view-0 ray grid plus the transform; non-transform models
+        (reference clevr_tr.py:313-327 item shape) receive the *actual*
+        target-view rays/positions derived from the transform, matching how
+        the reference feeds them real rays at eval (trainer.py:137-181).
         """
         (z, _enc_ctx) = self._encode(params, batch)
         B = batch.input_images.shape[0]
+        # Decoder rays are embarrassingly parallel (SURVEY §5.7): with a mesh,
+        # shard the ray axis of each chunk over `data` devices instead of
+        # looping in time, scaling the chunk so per-device work is unchanged.
+        ray_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape.get("data", 1)
+            if n_data > 1:
+                chunk = chunk * n_data
+                spec = (
+                    P(None, None, "data", None)
+                    if batch.target_transforms is not None
+                    else P(None, "data", None)
+                )
+                ray_sharding = NamedSharding(mesh, spec)
         coord = np.broadcast_to(
             make_2dcoord(height, width).reshape(1, -1, 2), (B, height * width, 2)
         )
-        rays = np.asarray(batch.input_rays[:, 0]).reshape(B, -1, 3)
-        cam = np.broadcast_to(
-            np.asarray(batch.input_camera_pos[:, 0])[:, None], (B, height * width, 3)
-        )
         if target_transform is None:
             target_transform = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4))
+        transform_mode = batch.target_transforms is not None
+        if transform_mode:
+            # canonical grid rays + relative transform carry the view change
+            rays = np.asarray(batch.input_rays[:, 0]).reshape(B, -1, 3)
+            cam = np.broadcast_to(
+                np.asarray(batch.input_camera_pos[:, 0])[:, None],
+                (B, height * width, 3),
+            )
+        else:
+            # geometry enters through the rays: build the novel view's ray
+            # grid in the canonical frame from its extrinsic
+            from gta_tpu.geometry.rays import camera_rays_from_extrinsic
+
+            ext = np.asarray(target_transform)
+            inv = np.linalg.inv(ext)
+            cam_pos = inv[:, :3, 3]  # camera origin in canonical coords
+            rays = np.stack(
+                [
+                    camera_rays_from_extrinsic(ext[b], cam_pos[b], width, height)
+                    for b in range(B)
+                ]
+            ).reshape(B, -1, 3)
+            cam = np.broadcast_to(cam_pos[:, None], (B, height * width, 3)).copy()
 
         n = height * width
         n_pad = ((n + chunk - 1) // chunk) * chunk
@@ -198,23 +268,77 @@ class Trainer:
 
         coord, rays, cam = pad_to(coord), pad_to(rays), pad_to(cam)
         out = np.zeros((B, n_pad, 3), np.float32)
+
+        def view_axis(x):
+            """Insert the target-view axis only for transform-mode batches
+            (non-transform batches are flat [B, P, ...])."""
+            return x[:, None] if transform_mode else x
+
+        def put(x):
+            x = jnp.asarray(x)
+            if ray_sharding is not None:
+                x = jax.device_put(x, ray_sharding)
+            return x
+
         for i in range(0, n_pad, chunk):
             sub = SceneBatch(
                 input_images=batch.input_images,
                 input_camera_pos=batch.input_camera_pos,
                 input_rays=batch.input_rays,
                 target_pixels=jnp.zeros((B, 1, chunk, 3)),
-                target_camera_pos=jnp.asarray(cam[:, None, i : i + chunk]),
-                target_rays=jnp.asarray(rays[:, None, i : i + chunk]),
+                target_camera_pos=put(view_axis(cam[:, i : i + chunk])),
+                target_rays=put(view_axis(rays[:, i : i + chunk])),
                 input_transforms=batch.input_transforms,
-                target_transforms=jnp.asarray(target_transform)[:, None],
+                target_transforms=(
+                    jnp.asarray(target_transform)[:, None] if transform_mode else None
+                ),
                 input_coord=batch.input_coord,
-                target_coord=jnp.asarray(coord[:, None, i : i + chunk]),
+                target_coord=(
+                    put(view_axis(coord[:, i : i + chunk]))
+                    if batch.target_coord is not None
+                    else None
+                ),
             )
             out[:, i : i + chunk] = np.asarray(self._decode_chunk(params, z, sub))
         return out[:, :n].reshape(B, height, width, 3)
 
-    def visualize(self, params, batch: SceneBatch, out_path: str, num_angles: int = 6):
+    def render_rays(
+        self,
+        params,
+        batch: SceneBatch,
+        rays: np.ndarray,
+        camera_pos: np.ndarray,
+        chunk: int = 4096,
+    ) -> np.ndarray:
+        """Decode arbitrary canonical-frame rays [B, P, 3] against the
+        batch's input views — the non-transform eval path (reference
+        evaluate.py:122-131 feeds each target view's actual rays)."""
+        (z, _enc_ctx) = self._encode(params, batch)
+        B, n = rays.shape[:2]
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        pad = n_pad - n
+
+        def pad_to(x):
+            return np.concatenate([x, np.repeat(x[:, -1:], pad, 1)], 1) if pad else x
+
+        rays, cam = pad_to(np.asarray(rays)), pad_to(np.asarray(camera_pos))
+        out = np.zeros((B, n_pad, 3), np.float32)
+        for i in range(0, n_pad, chunk):
+            sub = SceneBatch(
+                input_images=batch.input_images,
+                input_camera_pos=batch.input_camera_pos,
+                input_rays=batch.input_rays,
+                target_pixels=jnp.zeros((B, chunk, 3)),
+                target_camera_pos=jnp.asarray(cam[:, i : i + chunk]),
+                target_rays=jnp.asarray(rays[:, i : i + chunk]),
+                input_transforms=batch.input_transforms,
+                input_coord=batch.input_coord,
+            )
+            out[:, i : i + chunk] = np.asarray(self._decode_chunk(params, z, sub))
+        return out[:, :n]
+
+    def visualize(self, params, batch: SceneBatch, out_path: str, num_angles: int = 6,
+                  mesh=None):
         """Render `num_angles` novel views rotated about the world z-axis into
         an image grid (reference trainer.py:184-295). Rotation is conjugated
         into the canonical frame: T_rel = E_canon R_z(theta) E_canon^-1."""
@@ -241,7 +365,7 @@ class Trainer:
             else:
                 rel = np.broadcast_to(Rz, (B, 4, 4))
             img = self.render_image(
-                params, batch, H, W, target_transform=rel.astype(np.float32)
+                params, batch, H, W, target_transform=rel.astype(np.float32), mesh=mesh
             )
             columns.append((f"render {(i * 360) // num_angles}°", img))
         draw_visualization_grid(columns, out_path)

@@ -37,7 +37,21 @@ def main():
         "--speed_test",
         type=int,
         default=0,
-        help="time 100 train iters (batch divided by this value) -> time.npy",
+        help=(
+            "time 100 train iters (batch divided by this value) -> time.npy. "
+            "Times the steps *chained* between two host syncs (per-iter "
+            "block_until_ready lies over tunneled devices); time.npy holds "
+            "the mean per-step milliseconds."
+        ),
+    )
+    parser.add_argument(
+        "--n-model",
+        type=int,
+        default=1,
+        help=(
+            "tensor-parallel mesh width: shard attention heads / FFN over a "
+            "`model` axis of this size (devices = n_data x n_model)"
+        ),
     )
     parser.add_argument(
         "--profile",
@@ -140,7 +154,7 @@ def main():
     vis_n = min(6, host_batch) or 1
     data_vis = None
 
-    mesh = make_mesh()
+    mesh = make_mesh(n_model=args.n_model)
     trainer = Trainer(cfg, mesh=mesh)
     ckpt = Checkpointer(out_dir)
 
@@ -166,11 +180,33 @@ def main():
     epoch_it = scalars.get("epoch_it", -1)
     time_elapsed = scalars.get("t", 0.0)
     metric_val_best = scalars.get("loss_val_best", -sel_sign * np.inf)
+    run_id = scalars.get("run_id") or None
 
-    state = state.replace(
-        params=replicate(state.params, mesh), opt_state=replicate(state.opt_state, mesh)
-    )
+    if args.n_model > 1:
+        # TP: attention-head/FFN kernels shard over `model`; the opt state's
+        # mu/nu subtrees carry params-shaped leaf paths, so the same
+        # path-based rules apply (parallel/tp.py).
+        from gta_tpu.parallel.tp import shard_params
+
+        state = state.replace(
+            params=shard_params(state.params, mesh),
+            opt_state=shard_params(state.opt_state, mesh),
+        )
+    else:
+        state = state.replace(
+            params=replicate(state.params, mesh),
+            opt_state=replicate(state.opt_state, mesh),
+        )
     rng = jax.random.PRNGKey(cfg.seed)
+
+    # Stream-position resume for iterable datasets (reference
+    # multishapenet.py:316-320): skip the items this host already consumed
+    # in the current epoch so resume does not replay from scene 0.
+    if restored is not None and hasattr(train_ds, "skip"):
+        consumed = (int(state.step) - max(epoch_it, 0) * len(train_loader)) * host_batch
+        if consumed > 0:
+            train_ds.skip(consumed)
+            print(f"Skipping {consumed} already-consumed stream items.")
 
     # Preemption-safe save: on SIGTERM/SIGINT finish the current step, write
     # the rolling checkpoint, then exit (the reference only supports
@@ -188,10 +224,19 @@ def main():
 
     wandb_run = None
     if args.wandb and is_main:
+        # persisted run_id => resume attaches to the same wandb run
+        # (reference train.py:240-252)
         try:
             import wandb
 
-            wandb_run = wandb.init(project="gta-tpu", name=out_dir, resume=True)
+            if run_id is None:
+                run_id = wandb.util.generate_id()
+                print(f"Sampled new wandb run_id {run_id}.")
+            else:
+                print(f"Resuming wandb with existing run_id {run_id}.")
+            wandb_run = wandb.init(
+                project="gta-tpu", name=out_dir, id=run_id, resume="allow"
+            )
         except Exception as e:
             print(f"wandb unavailable ({e}); continuing without")
 
@@ -213,6 +258,8 @@ def main():
                 "t": time_elapsed,
                 "loss_val_best": float(metric_val_best),
             }
+            if run_id is not None:
+                scalars_out["run_id"] = run_id
             if t_cfg.checkpoint_every > 0 and it % t_cfg.checkpoint_every == 0 and it > 0:
                 ckpt.save("latest", state, scalars_out)
                 print("Checkpoint saved.")
@@ -225,13 +272,18 @@ def main():
                     if data_vis is None:
                         data_vis = next(iter(Loader(eval_ds, vis_n, shuffle=True, num_workers=2)))
                     print("Visualizing...")
-                    trainer.visualize(state.params, data_vis, os.path.join(out_dir, "renders-val"))
+                    trainer.visualize(
+                        state.params, data_vis,
+                        os.path.join(out_dir, "renders-val"), mesh=mesh,
+                    )
                 visnow = False
 
             if evalnow or (it > 0 and t_cfg.validate_every > 0 and it % t_cfg.validate_every == 0):
                 print("Evaluating...")
-                eval_dict = trainer.evaluate(state.params, iter(val_loader))
+                eval_dict = trainer.evaluate(state.params, iter(val_loader), mesh=mesh)
                 print("Evaluation results:", eval_dict)
+                if wandb_run is not None:
+                    wandb_run.log(eval_dict, step=it)
                 metric_val = eval_dict[sel_metric]
                 if sel_sign * (metric_val - metric_val_best) > 0:
                     metric_val_best = metric_val
@@ -246,7 +298,7 @@ def main():
 
             t0 = time.perf_counter()
             state, metrics = trainer.train_step(state, batch, rng)
-            if args.speed_test or args.profile:
+            if args.profile:
                 jax.block_until_ready(metrics["loss"])
             dt = time.perf_counter() - t0
             time_elapsed += dt
@@ -257,10 +309,18 @@ def main():
                 profile_stop_at = 1 << 60
 
             if args.speed_test:
-                speed_times.append(dt * 1e3)
-                print(dt * 1e3)
-                if len(speed_times) == 100:
-                    np.save(os.path.join(out_dir, "time.npy"), np.asarray(speed_times))
+                # Chained protocol (bench.py): steps stay enqueued back to
+                # back; a host fetch of the loss closes each timing window.
+                # Per-iter block_until_ready can return before device
+                # completion over tunneled devices, so per-iter walltimes lie.
+                speed_times.append(time.perf_counter())
+                if len(speed_times) == 1 or len(speed_times) == 101:
+                    float(metrics["loss"])  # hard sync at window edges
+                    speed_times[-1] = time.perf_counter()
+                if len(speed_times) == 101:
+                    mean_ms = (speed_times[-1] - speed_times[0]) / 100 * 1e3
+                    print(f"chained mean step time: {mean_ms:.2f} ms")
+                    np.save(os.path.join(out_dir, "time.npy"), np.asarray([mean_ms]))
                     return
 
             if t_cfg.print_every > 0 and it % t_cfg.print_every == 0:
