@@ -132,7 +132,7 @@ def build_all():
     runs["clevrtr/GTA/gta_cnoise0.1"] = c
 
     c = clevr_base()
-    set_attn(c, gta_args({"triv": 2, "se3": 30}, so2=8, euclid_sim=True))
+    set_attn(c, gta_args({"triv": 2, "se3": 30, "so2": 32}, so2=8, euclid_sim=True))
     c["training"]["backup_every"] = 500000
     runs["clevrtr/GTA/gta_euclid"] = c
 
@@ -199,6 +199,7 @@ def build_all():
     set_attn(
         c,
         {**gta_args({"so2": 64}, so2=16, v_transform=False), "softmax": "adjustable"},
+        gta_args({"so2": 64}, so2=16, v_transform=False),
     )
     c["training"].update({"visualize_every": 3000000, "validate_every": 3000000})
     runs["clevrtr/otherPEs/ftl_rope"] = c
@@ -214,22 +215,23 @@ def build_all():
     }
     c["model"]["model_type"] = "srt"
     set_attn(c, plain("gbt"))
+    c["model"]["args"]["decoder_kwargs"]["emb"] = "ray"
     runs["clevrtr/otherPEs/gbt"] = c
 
     c = clevr_base()
     set_attn(c, {**plain("mln"), "softmax": "adjustable"})
     c["model"]["args"]["decoder_kwargs"].update({"scale_h": 240, "scale_w": 320})
-    c["training"]["num_workers"] = 1
     runs["clevrtr/otherPEs/mln"] = c
 
-    def repast_cfg(base, noise=None):
+    def repast_cfg(base, noise=None, kubric_basis=True):
         c = base
         c["data"]["kwargs"] = {
             k: v
             for k, v in c["data"]["kwargs"].items()
             if k not in ("downsample_input_coord", "return_transform")
         }
-        c["data"]["kwargs"]["kubric_basis"] = True
+        if kubric_basis:
+            c["data"]["kwargs"]["kubric_basis"] = True
         if noise:
             c["data"]["kwargs"]["camera_noise"] = noise
         c["model"]["model_type"] = "srt"
@@ -319,7 +321,8 @@ def build_all():
     runs["msn/GTA/gta_t2"] = m
 
     # ----- MSN / other PEs ------------------------------------------------
-    runs["msn/otherPEs/repast"] = repast_cfg(msn_base())
+    # (reference msn repast has no kubric_basis kwarg)
+    runs["msn/otherPEs/repast"] = repast_cfg(msn_base(), kubric_basis=False)
 
     m = msn_base()
     m["data"]["kwargs"] = {

@@ -30,6 +30,22 @@ def test_reference_configs_also_parse():
         load_config(path)
 
 
+def test_generated_configs_match_reference_semantics():
+    """Each generated run config parses to the *same typed Config* as its
+    reference counterpart (modulo the environment-specific dataset path) —
+    the experiment matrix is semantically identical, not just parseable."""
+    import dataclasses
+
+    ref = sorted(glob.glob("/root/reference/runs/*/*/*/config.yaml"))
+    for r in ref:
+        mine = r.replace("/root/reference/", "/root/repo/")
+        assert os.path.exists(mine), f"missing generated config for {r}"
+        a, b = load_config(r), load_config(mine)
+        a = dataclasses.replace(a, data=dataclasses.replace(a.data, path=""))
+        b = dataclasses.replace(b, data=dataclasses.replace(b.data, path=""))
+        assert a == b, f"semantic drift vs reference: {mine}"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from gta_tpu.train.checkpoint import Checkpointer
     from tests.test_trainer import tiny_config, make_batch
