@@ -1,11 +1,13 @@
 """Blockwise (flash) attention on TPU via Pallas.
 
-Wraps the stock JAX Pallas TPU flash-attention kernel (fwd + custom-VJP
-bwd) with the padding/masking glue our shapes need: query/key lengths are
-padded to 128-multiples with segment-id masking so padded keys never
-receive probability mass, and padded queries are sliced off. This removes
-the O(Tq x Tk) attention-matrix HBM round-trip that the XLA path (and the
-reference, layers.py:202-211) materializes.
+Sequences whose whole key block fits VMEM (every current config) route to
+our lean single-pass kernel (ops/flash_core.py). Longer keys fall back to
+the stock JAX Pallas TPU flash-attention kernel wrapped with the
+padding/masking glue our shapes need: query/key lengths are padded to
+128-multiples with segment-id masking so padded keys never receive
+probability mass, and padded queries are sliced off. Either way this
+removes the O(Tq x Tk) attention-matrix HBM round-trip that the XLA path
+(and the reference, layers.py:202-211) materializes.
 
 Constraints: no attention-map output, static sm_scale (the adjustable-tau
 softmax and GBT bias variants stay on the XLA path — see
@@ -19,6 +21,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from gta_tpu.ops.flash_core import MAX_TK, flash_core
+
 _BLOCK = 128
 
 
@@ -30,6 +34,9 @@ def _pad_len(n: int, block: int = _BLOCK) -> int:
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, sm_scale: float = 1.0):
     """softmax(q k^T * sm_scale) v over [B, H, T, C] without materializing
     the attention matrix. Returns out [B, H, Tq, C]."""
+    if k.shape[2] <= MAX_TK:
+        return flash_core(q, k, v, float(sm_scale))
+
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         SegmentIds,

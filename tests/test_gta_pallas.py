@@ -10,7 +10,7 @@ import pytest
 from gta_tpu.config import FDims, GTAArgs
 from gta_tpu.ops.attention import dot_product_attention
 from gta_tpu.ops.gta import gta_attention
-from gta_tpu.ops.gta_pallas import fused_gta_attention, build_layout
+from gta_tpu.ops.gta_pallas import fused_gta_attention
 from gta_tpu.ops.reps import encoder_reps
 from tests.conftest import random_se3
 
@@ -38,13 +38,6 @@ CONFIGS = {
     "t2": GTAArgs(f_dims=FDims(triv=2, se3=16, t2=6), so2=0),
     "no_vtransform": GTAArgs(f_dims=FDims(se3=16, so2=16), so2=4, v_transform=False),
 }
-
-
-def test_layout_permutation_is_bijection():
-    for name, args in CONFIGS.items():
-        so3_dims = tuple(2 * l + 1 for l in range(1, args.so3 + 1)) if args.f_dims.so3 else ()
-        perm, descs = build_layout(args.f_dims, so3_dims)
-        assert sorted(perm.tolist()) == list(range(args.f_dims.total)), name
 
 
 @pytest.mark.parametrize("name", list(CONFIGS))
