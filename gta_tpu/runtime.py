@@ -11,6 +11,12 @@ def setup(cache_dir: str = "/root/.cache/jax_compilation") -> None:
     hit the cache) and keep CPU fallback sane."""
     import jax
 
+    # The container's TPU plugin force-overrides JAX_PLATFORMS; honor an
+    # explicit backend request (e.g. GTA_PLATFORM=cpu for CI smokes) the
+    # only way that works here — via jax.config after import.
+    plat = os.environ.get("GTA_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -32,6 +32,15 @@ def main():
     parser.add_argument("--full-scale", action="store_true")
     parser.add_argument("--print-model", action="store_true")
     parser.add_argument("--synthetic", action="store_true", help="use synthetic scenes")
+    parser.add_argument(
+        "--device-data",
+        action="store_true",
+        help=(
+            "generate synthetic scenes *on device* (data/device_synth.py): "
+            "zero per-step host->device transfer — the right mode whenever "
+            "device ingest bandwidth is the bottleneck (e.g. tunneled TPU)"
+        ),
+    )
     parser.add_argument("--batch-size", type=int, default=None, help="override global batch size")
     parser.add_argument(
         "--speed_test",
@@ -62,6 +71,17 @@ def main():
     parser.add_argument("--wandb", action="store_true", help="log to Weights & Biases")
     parser.add_argument(
         "--debug-nans", action="store_true", help="enable jax_debug_nans checks"
+    )
+    parser.add_argument(
+        "--bf16",
+        action="store_true",
+        help="force training.mixed_prec (bf16 compute policy) regardless of config",
+    )
+    parser.add_argument(
+        "--validate-every",
+        type=int,
+        default=None,
+        help="override training.validate_every (eval cadence in steps)",
     )
     args = parser.parse_args()
 
@@ -119,6 +139,15 @@ def main():
         cfg = dataclasses.replace(
             cfg, training=dataclasses.replace(cfg.training, batch_size=args.batch_size)
         )
+    if args.bf16:
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training, mixed_prec=True)
+        )
+    if args.validate_every is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            training=dataclasses.replace(cfg.training, validate_every=args.validate_every),
+        )
     t_cfg = cfg.training
     global_batch = t_cfg.batch_size
     if args.speed_test:
@@ -129,28 +158,43 @@ def main():
     sel_sign = 1 if t_cfg.model_selection_mode == "maximize" else -1
     sel_metric = t_cfg.model_selection_metric
 
-    print(f"Loading training set ({cfg.data.dataset})...")
-    train_ds = get_dataset("train", cfg.data, seed=cfg.seed)
     eval_split = "test" if args.test else "val"
-    eval_ds = get_dataset(eval_split, cfg.data, full_scale=args.full_scale, max_len=args.max_eval)
+    use_device_data = args.device_data and cfg.data.dataset == "synthetic"
+    if use_device_data:
+        from gta_tpu.data.device_synth import DeviceSynthetic
 
-    train_loader = Loader(
-        train_ds,
-        host_batch,
-        shuffle=True,
-        seed=cfg.seed,
-        num_workers=t_cfg.num_workers,
-        shard_index=jax.process_index(),
-        shard_count=n_hosts,
-    )
-    val_loader = Loader(
-        eval_ds,
-        max(1, host_batch // 8),
-        shuffle=False,
-        num_workers=t_cfg.num_workers,
-        shard_index=jax.process_index(),
-        shard_count=n_hosts,
-    )
+        print("Loading training set (synthetic, on-device generation)...")
+        dev_train = DeviceSynthetic(cfg.data, "train", seed=cfg.seed)
+        dev_val = DeviceSynthetic(
+            cfg.data, eval_split, seed=cfg.seed, full_scale=args.full_scale
+        )
+        train_ds = eval_ds = None
+        val_batches = dev_val.val_batches(args.max_eval or 256, max(1, host_batch // 8))
+        steps_per_epoch = 10000 // global_batch or 1
+    else:
+        print(f"Loading training set ({cfg.data.dataset})...")
+        train_ds = get_dataset("train", cfg.data, seed=cfg.seed)
+        eval_ds = get_dataset(
+            eval_split, cfg.data, full_scale=args.full_scale, max_len=args.max_eval
+        )
+
+        train_loader = Loader(
+            train_ds,
+            host_batch,
+            shuffle=True,
+            seed=cfg.seed,
+            num_workers=t_cfg.num_workers,
+            shard_index=jax.process_index(),
+            shard_count=n_hosts,
+        )
+        val_loader = Loader(
+            eval_ds,
+            max(1, host_batch // 8),
+            shuffle=False,
+            num_workers=t_cfg.num_workers,
+            shard_index=jax.process_index(),
+            shard_count=n_hosts,
+        )
     vis_n = min(6, host_batch) or 1
     data_vis = None
 
@@ -159,7 +203,11 @@ def main():
     ckpt = Checkpointer(out_dir)
 
     # init from one batch
-    init_batch = next(iter(train_loader))
+    init_batch = (
+        dev_train.batch(0, host_batch, jax.process_index(), n_hosts)
+        if use_device_data
+        else next(iter(train_loader))
+    )
     state = trainer.init_state(init_batch, seed=cfg.seed)
     counts = trainer.param_counts(state)
     print(
@@ -202,7 +250,7 @@ def main():
     # Stream-position resume for iterable datasets (reference
     # multishapenet.py:316-320): skip the items this host already consumed
     # in the current epoch so resume does not replay from scene 0.
-    if restored is not None and hasattr(train_ds, "skip"):
+    if restored is not None and train_ds is not None and hasattr(train_ds, "skip"):
         consumed = (int(state.step) - max(epoch_it, 0) * len(train_loader)) * host_batch
         if consumed > 0:
             train_ds.skip(consumed)
@@ -245,11 +293,40 @@ def main():
     profile_stop_at = None
     evalnow, visnow = args.evalnow, args.visnow
 
+    # In-tree metrics record (loss curve + eval PSNR/SSIM curve) so quality
+    # evidence survives the run without wandb — appended, resume-safe.
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
+
+    def log_metrics(kind, payload):
+        if not is_main:
+            return
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps({"kind": kind, "it": it, "t": time_elapsed, **payload}) + "\n")
+
+    # Honest wall-clock: over an async/tunneled device, per-step dispatch
+    # timing undercounts massively (steps enqueue in ~ms and complete much
+    # later). `t` is resumed checkpoint time + real elapsed session time.
+    t_resumed = time_elapsed
+    session_start = time.perf_counter()
+
+    def _now():
+        return t_resumed + time.perf_counter() - session_start
+
+    def train_epoch():
+        """One epoch of batches: host loader, or on-device generation keyed
+        by the step counter (resume-exact: ids derive from `it`)."""
+        if not use_device_data:
+            train_loader.set_epoch(epoch_it)
+            yield from train_loader
+            return
+        for _ in range(steps_per_epoch):
+            yield dev_train.batch(it + 1, host_batch, jax.process_index(), n_hosts)
+
     while True:
         epoch_it += 1
-        train_loader.set_epoch(epoch_it)
-        for batch in train_loader:
+        for batch in train_epoch():
             it += 1
+            time_elapsed = _now()
             batch = shard_batch(batch, mesh)
 
             scalars_out = {
@@ -270,7 +347,11 @@ def main():
             if visnow or (it > 0 and t_cfg.visualize_every > 0 and it % t_cfg.visualize_every == 0):
                 if is_main:
                     if data_vis is None:
-                        data_vis = next(iter(Loader(eval_ds, vis_n, shuffle=True, num_workers=2)))
+                        data_vis = (
+                            dev_val.batch(0, vis_n)
+                            if use_device_data
+                            else next(iter(Loader(eval_ds, vis_n, shuffle=True, num_workers=2)))
+                        )
                     print("Visualizing...")
                     trainer.visualize(
                         state.params, data_vis,
@@ -280,8 +361,13 @@ def main():
 
             if evalnow or (it > 0 and t_cfg.validate_every > 0 and it % t_cfg.validate_every == 0):
                 print("Evaluating...")
-                eval_dict = trainer.evaluate(state.params, iter(val_loader), mesh=mesh)
+                eval_dict = trainer.evaluate(
+                    state.params,
+                    iter(val_batches) if use_device_data else iter(val_loader),
+                    mesh=mesh,
+                )
                 print("Evaluation results:", eval_dict)
+                log_metrics("eval", eval_dict)
                 if wandb_run is not None:
                     wandb_run.log(eval_dict, step=it)
                 metric_val = eval_dict[sel_metric]
@@ -296,12 +382,9 @@ def main():
                 jax.profiler.start_trace(os.path.join(out_dir, "trace"))
                 profile_stop_at = it + args.profile
 
-            t0 = time.perf_counter()
             state, metrics = trainer.train_step(state, batch, rng)
             if args.profile:
                 jax.block_until_ready(metrics["loss"])
-            dt = time.perf_counter() - t0
-            time_elapsed += dt
 
             if profile_stop_at is not None and it >= profile_stop_at:
                 jax.profiler.stop_trace()
@@ -331,6 +414,7 @@ def main():
                     f"{out_dir} t={elapsed} [Epoch {epoch_it:02d}] it={it}, "
                     f"loss={loss:.4f} lr={lr:.3e}"
                 )
+                log_metrics("train", {"loss": loss, "lr": lr})
                 if wandb_run is not None:
                     wandb_run.log({"loss": loss, "lr": lr, "t": time_elapsed}, step=it)
 
