@@ -1,0 +1,104 @@
+"""Ring attention over view-sharded KV blocks (sequence/context parallelism).
+
+The reference has no sequence parallelism — it materializes full O(Tq x Tk)
+attention on <=1.3k tokens (reference layers.py:202-224) and its only
+length-scaling device is time-sliced ray chunking (trainer.py:154-171).
+This module is the TPU-native scaling path planned in SURVEY §5.7(c): when
+the input-view count grows beyond what one chip's VMEM/HBM holds, shard
+keys *by view* over a mesh axis and ring-pass KV blocks over ICI while
+queries stay local.
+
+Views are the natural ring granule for GTA: every key-side rep table
+(SE(3) extrinsic, SO(3) Wigner-D, per-token SO(2) rotors) is indexed by
+view, so a view-sharded `GeomReps` carries exactly the tables its local KV
+shard needs — the rep transform happens shard-locally *before* the ring,
+and only transformed K/V ride the `ppermute`. The output untransform uses
+query-side reps, which never leave the device.
+
+Numerics: online (streaming) softmax in fp32 — each ring step folds one KV
+block into running (max, sum, out) accumulators, exactly the flash
+recurrence, so the result equals single-device softmax attention to fp32
+round-off. Collective cost per step is 2 x [B, H, Tk/n, C] over ICI,
+overlapped with the block matmuls by XLA's latency-hiding scheduler.
+
+Use inside `shard_map` over a mesh axis (tests/test_ring.py drives an
+8-virtual-device CPU mesh; `__graft_entry__.dryrun_multichip` compiles it
+into the multi-chip validation path).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gta_tpu.config import GTAArgs
+from gta_tpu.ops.gta import gta_transform_qkv, gta_untransform_out
+from gta_tpu.ops.reps import GeomReps
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    axis_name: str,
+) -> jnp.ndarray:
+    """softmax(q k^T * scale) v with k/v sharded over `axis_name`.
+
+    Call under shard_map. q: local [B, H, Tq, C] (replicated or
+    query-sharded over an orthogonal axis); k, v: local KV shards
+    [B, H, Tk_local, C]. Returns the local [B, H, Tq, C] output.
+    """
+    n = jax.lax.psum(1, axis_name)  # static axis size
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    qf = q.astype(jnp.float32)
+
+    def step(carry, _):
+        o, m, l, kc, vc = carry
+        s = jnp.einsum("bhqc,bhkc->bhqk", qf, kc.astype(jnp.float32)) * scale
+        m_blk = jnp.max(s, -1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, -1, keepdims=True)
+        o = o * alpha + jnp.einsum("bhqk,bhkc->bhqc", p, vc.astype(jnp.float32))
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        return (o, m_new, l, kc, vc), None
+
+    # Derive the accumulators from q so their varying-axes type matches the
+    # loop-carried value when q itself is sharded over the ring axis.
+    o0 = qf * 0.0
+    m0 = qf[..., :1] * 0.0 - jnp.inf
+    l0 = qf[..., :1] * 0.0
+    (o, _, l, _, _), _ = jax.lax.scan(step, (o0, m0, l0, k, v), None, length=n)
+    return (o / l).astype(q.dtype)
+
+
+def ring_gta_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    reps: GeomReps,
+    args: GTAArgs,
+    trans_coeff: Optional[jnp.ndarray],
+    scale: float,
+    axis_name: str,
+) -> jnp.ndarray:
+    """GTA attention with view-sharded keys: transform locally, ring the core.
+
+    `reps` is the *local* GeomReps: query-side tables cover the local
+    queries, key-side tables cover only the local KV views (shard the view
+    axis of se3_k/so3_k and the token axis of so2_k/t2_k alongside k/v).
+    Semantically equal to ops/gta.gta_attention on the gathered arrays.
+    """
+    assert not args.euclid_sim and not args.elementwise_mul, (
+        "ring path covers the production GTA variant; use the oracle for ablations"
+    )
+    qt, kt, vt = gta_transform_qkv(q, k, v, reps, args, trans_coeff)
+    out = ring_attention(qt, kt, vt, scale, axis_name)
+    if args.v_transform:
+        out = gta_untransform_out(out, reps, args, trans_coeff)
+    return out
