@@ -34,7 +34,9 @@ class Loader:
         prefetch: int = 2,
         shard_index: int = 0,
         shard_count: int = 1,
+        collate_fn=None,
     ):
+        self.collate = collate_fn if collate_fn is not None else collate
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -84,7 +86,7 @@ class Loader:
                             return
                         sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
                         items = list(pool.map(self.dataset.__getitem__, sel))
-                        q.put(collate(items))
+                        q.put(self.collate(items))
                 finally:
                     q.put(None)
 
@@ -118,10 +120,10 @@ class Loader:
                         return
                     items.append(item)
                     if len(items) == self.batch_size:
-                        q.put(collate(items))
+                        q.put(self.collate(items))
                         items = []
                 if items and not self.drop_last:
-                    q.put(collate(items))
+                    q.put(self.collate(items))
             finally:
                 q.put(None)
 
