@@ -21,4 +21,9 @@ def get_dataset(mode: str, cfg: DataConfig, full_scale: bool = False, max_len=No
             cfg, mode, full_scale=full_scale, max_len=max_len, seed=seed,
             shuffle=cfg.shuffle,
         )
+    if cfg.dataset in ("re10k", "acid"):
+        # identical on-disk format; 'acid' just points at an ACID dump
+        from gta_tpu.data.re10k import RealEstate10K
+
+        return RealEstate10K(cfg, mode, full_scale=full_scale, max_len=max_len, seed=seed)
     raise ValueError(f"unknown dataset {cfg.dataset}")

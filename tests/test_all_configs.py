@@ -20,7 +20,11 @@ from gta_tpu.config import load_config
 from gta_tpu.data.synthetic import SyntheticScenes, collate
 from gta_tpu.train.trainer import Trainer
 
-CONFIGS = sorted(glob.glob("/root/repo/runs/*/*/*/config.yaml"))
+# every NVS (SceneBatch) config; the DiT family has its own trainer and
+# is exercised by tests/test_dit.py
+CONFIGS = sorted(
+    p for p in glob.glob("/root/repo/runs/*/*/*/config.yaml") if "/imagenet/" not in p
+)
 
 
 def _short(path):
