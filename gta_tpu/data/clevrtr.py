@@ -158,20 +158,26 @@ class CLEVRTR:
             rest = sorted(set(range(NV)) - set(input_idx))
             target_idx = rng.choice(rest, size=cfg.num_target_views, replace=False)
 
-        imgs = np.stack(
-            [
-                _imread(os.path.join(self.dir, "imgs", f"img_{scene_idx}_{v}.png"))[..., :3]
-                .astype(np.float32)
-                / 255.0
-                for v in range(NV)
-            ]
-        )
-        mask_idx = np.stack(
-            [
-                _imread(os.path.join(self.dir, "masks", f"masks_{scene_idx}_{v}.png"))
-                for v in range(NV)
-            ]
-        )
+        # native data plane: all views decode in parallel C threads straight
+        # into the batch buffer (csrc/image_decode.cpp); per-file Python
+        # fallback otherwise
+        from gta_tpu.data.native import decode_pngs_gray, decode_pngs_rgb
+
+        img_paths = [
+            os.path.join(self.dir, "imgs", f"img_{scene_idx}_{v}.png") for v in range(NV)
+        ]
+        mask_paths = [
+            os.path.join(self.dir, "masks", f"masks_{scene_idx}_{v}.png")
+            for v in range(NV)
+        ]
+        imgs = decode_pngs_rgb(img_paths, self.h, self.w)
+        if imgs is None:
+            imgs = np.stack(
+                [_imread(p)[..., :3].astype(np.float32) / 255.0 for p in img_paths]
+            )
+        mask_idx = decode_pngs_gray(mask_paths, self.h, self.w)
+        if mask_idx is None:
+            mask_idx = np.stack([_imread(p) for p in mask_paths])
         masks = np.zeros((NV, self.h, self.w, self.NUM_MAX_ENTITIES), dtype=np.uint8)
         np.put_along_axis(masks, mask_idx[..., None], 1, axis=-1)
 

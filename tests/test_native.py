@@ -60,3 +60,42 @@ def test_native_faster_at_scale():
     # loose wall-clock sanity only — the suite runs tests concurrently and
     # CPU contention makes tight timing asserts flaky
     assert native_t < 5.0, native_t
+
+
+def test_native_png_decode_rgb_and_gray(tmp_path):
+    """Native batch PNG decode matches an independent decoder bit-exactly."""
+    import cv2
+
+    from gta_tpu.data.native import decode_pngs_gray, decode_pngs_rgb
+
+    rng = np.random.RandomState(7)
+    h, w, n = 24, 32, 5
+    rgb_paths, gray_paths, rgb_ref, gray_ref = [], [], [], []
+    for i in range(n):
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)
+        p = str(tmp_path / f"img{i}.png")
+        cv2.imwrite(p, img[..., ::-1])  # cv2 writes BGR
+        rgb_paths.append(p)
+        rgb_ref.append(img)
+        m = rng.randint(0, 7, (h, w)).astype(np.uint8)
+        pm = str(tmp_path / f"mask{i}.png")
+        cv2.imwrite(pm, m)
+        gray_paths.append(pm)
+        gray_ref.append(m)
+
+    out = decode_pngs_rgb(rgb_paths, h, w)
+    if out is None:
+        pytest.skip("libpng decode unavailable")
+    np.testing.assert_allclose(out, np.stack(rgb_ref).astype(np.float32) / 255.0, atol=1e-7)
+
+    masks = decode_pngs_gray(gray_paths, h, w)
+    assert masks is not None
+    np.testing.assert_array_equal(masks, np.stack(gray_ref))
+
+
+def test_native_png_decode_failure_returns_none(tmp_path):
+    from gta_tpu.data.native import decode_pngs_rgb
+
+    if decode_pngs_rgb([], 4, 4) is None:
+        pytest.skip("libpng decode unavailable")
+    assert decode_pngs_rgb([str(tmp_path / "missing.png")], 4, 4) is None
