@@ -70,6 +70,12 @@ def main():
     )
     parser.add_argument("--wandb", action="store_true", help="log to Weights & Biases")
     parser.add_argument(
+        "--rtpt",
+        type=str,
+        default=None,
+        help="set process title via rtpt with these initials (reference train.py:98-101)",
+    )
+    parser.add_argument(
         "--debug-nans", action="store_true", help="enable jax_debug_nans checks"
     )
     parser.add_argument(
@@ -270,6 +276,20 @@ def main():
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
 
+    rtpt = None
+    if args.rtpt is not None:
+        try:
+            from rtpt import RTPT
+
+            rtpt = RTPT(
+                name_initials=args.rtpt,
+                experiment_name=os.path.basename(out_dir) or "gta-tpu",
+                max_iterations=max_it,
+            )
+            rtpt.start()
+        except Exception as e:
+            print(f"rtpt unavailable ({e}); continuing without")
+
     wandb_run = None
     if args.wandb and is_main:
         # persisted run_id => resume attaches to the same wandb run
@@ -407,6 +427,8 @@ def main():
                     return
 
             if t_cfg.print_every > 0 and it % t_cfg.print_every == 0:
+                if rtpt is not None:
+                    rtpt.step()
                 loss = float(metrics["loss"])
                 lr = float(metrics["lr"])
                 elapsed = str(datetime.timedelta(seconds=int(time_elapsed)))
