@@ -104,3 +104,64 @@ class ImageNetTFDS:
                 "image": (img / 127.5 - 1.0).astype(np.float32),
                 "label": np.int32(ex["label"]),
             }
+
+
+class DeviceSyntheticImages:
+    """On-device procedural image generation (the DiT analogue of
+    data/device_synth.py): the same class-conditional stripe distribution as
+    SyntheticImages, generated inside one jit so training needs no
+    steady-state host->device transfer (the tunneled chip ingests ~5.5 MB/s,
+    which starves even small-image diffusion batches)."""
+
+    def __init__(self, size: int = 32, num_classes: int = 10, mode: str = "train",
+                 num_images: int = 50000, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        self.size = size
+        self.num_classes = num_classes
+        self.num_images = num_images
+        base = {"train": 0, "val": 1 << 24, "test": 1 << 25}[mode]
+        self.id_base = base
+        self.key = jax.random.PRNGKey(seed * (1 << 26) + base + 23)
+        s = size
+        yy, xx = np.meshgrid(
+            np.linspace(0, 1, s, dtype=np.float32),
+            np.linspace(0, 1, s, dtype=np.float32),
+            indexing="ij",
+        )
+        xx, yy = jnp.asarray(xx), jnp.asarray(yy)
+
+        def gen_one(sid):
+            key = jax.random.fold_in(self.key, sid)
+            kk, kp, kc, kn = jax.random.split(key, 4)
+            k = jax.random.randint(kk, (), 0, num_classes)
+            angle = jnp.pi * k / num_classes
+            freq = 2.0 + 2.0 * (k % 5)
+            phase = jax.random.uniform(kp, (), minval=0.0, maxval=2 * jnp.pi)
+            wave = jnp.sin(
+                2 * jnp.pi * freq * (jnp.cos(angle) * xx + jnp.sin(angle) * yy) + phase
+            )
+            color = jax.random.uniform(kc, (3,), minval=0.3, maxval=1.0)
+            img = wave[..., None] * color[None, None]
+            img = img + 0.05 * jax.random.normal(kn, img.shape)
+            return {
+                "image": jnp.clip(img, -1.0, 1.0).astype(jnp.float32),
+                "label": k.astype(jnp.int32),
+            }
+
+        self._gen = jax.jit(jax.vmap(gen_one))
+
+    def batch(self, step: int, batch_size: int, shard_index: int = 0,
+              shard_count: int = 1) -> dict:
+        import jax.numpy as jnp
+
+        start = (step * shard_count + shard_index) * batch_size
+        if self.id_base:  # val/test cycle a fixed id range
+            start %= 1 << 20
+        ids = jnp.arange(start, start + batch_size) + self.id_base
+        return self._gen(ids)
+
+    def val_batches(self, num_scenes: int, batch_size: int):
+        n = max(1, num_scenes // batch_size)
+        return [self.batch(i, batch_size) for i in range(n)]

@@ -157,3 +157,26 @@ def test_dit_config_roundtrip():
     assert cfg.model.attn.gta.f_dims.total == 384 // 6
     base = load_dit_config("runs/imagenet/DiT/dit_base/config.yaml")
     assert base.model.attn.method == ""
+
+
+def test_device_images_generator():
+    from gta_tpu.data.images import DeviceSyntheticImages, SyntheticImages
+
+    gen = DeviceSyntheticImages(16, 10, "train", seed=0)
+    b = gen.batch(0, 8)
+    assert b["image"].shape == (8, 16, 16, 3)
+    assert b["label"].shape == (8,)
+    assert float(jnp.abs(b["image"]).max()) <= 1.0
+    b2 = gen.batch(0, 8)
+    assert np.allclose(np.asarray(b["image"]), np.asarray(b2["image"]))
+    # fresh ids each step
+    b3 = gen.batch(1, 8)
+    assert not np.allclose(np.asarray(b["image"]), np.asarray(b3["image"]))
+    # same class-conditional structure as the host dataset: per-class images
+    # share orientation/frequency, so two same-class images correlate far
+    # more after phase alignment than cross-class ones; cheap proxy — the
+    # host and device image value distributions agree
+    host = np.stack([SyntheticImages(16, 10, "train")[i]["image"] for i in range(64)])
+    dev = np.asarray(DeviceSyntheticImages(16, 10, "train").batch(0, 64)["image"])
+    assert abs(host.std() - dev.std()) < 0.05
+    assert abs(host.mean() - dev.mean()) < 0.05

@@ -28,6 +28,11 @@ def main():
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--max-eval", type=int, default=64)
     parser.add_argument("--samplenow", action="store_true")
+    parser.add_argument(
+        "--device-data",
+        action="store_true",
+        help="generate procedural images on device (zero per-step H2D)",
+    )
     parser.add_argument("--sample-steps", type=int, default=50)
     parser.add_argument("--guidance", type=float, default=4.0)
     args = parser.parse_args()
@@ -63,7 +68,20 @@ def main():
     host_batch = t_cfg.batch_size // jax.process_count()
 
     mcfg = cfg.model
-    if cfg.data.dataset == "imagenet" and (args.datapath or cfg.data.path):
+    use_device_data = args.device_data and not (args.datapath or cfg.data.path)
+    if use_device_data:
+        from gta_tpu.data.images import DeviceSyntheticImages
+
+        print("Procedural images, on-device generation.")
+        dev_train = DeviceSyntheticImages(
+            mcfg.input_size, mcfg.num_classes, "train", cfg.data.num_images, cfg.seed
+        )
+        dev_val = DeviceSyntheticImages(
+            mcfg.input_size, mcfg.num_classes, "val", args.max_eval, cfg.seed
+        )
+        train_ds = val_ds = None
+        val_batches = dev_val.val_batches(args.max_eval, max(1, host_batch // 4))
+    elif cfg.data.dataset == "imagenet" and (args.datapath or cfg.data.path):
         from gta_tpu.data.images import ImageNetTFDS
 
         train_ds = ImageNetTFDS(mcfg.input_size, "train", args.datapath or cfg.data.path)
@@ -78,20 +96,25 @@ def main():
             mcfg.input_size, mcfg.num_classes, "val", args.max_eval, cfg.seed
         )
 
-    loader_kw = dict(
-        num_workers=t_cfg.num_workers,
-        shard_index=jax.process_index(),
-        shard_count=jax.process_count(),
-        collate_fn=collate_images,
-    )
-    train_loader = Loader(train_ds, host_batch, shuffle=True, seed=cfg.seed, **loader_kw)
-    val_loader = Loader(val_ds, max(1, host_batch // 4), shuffle=False, **loader_kw)
+    if not use_device_data:
+        loader_kw = dict(
+            num_workers=t_cfg.num_workers,
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
+            collate_fn=collate_images,
+        )
+        train_loader = Loader(train_ds, host_batch, shuffle=True, seed=cfg.seed, **loader_kw)
+        val_loader = Loader(val_ds, max(1, host_batch // 4), shuffle=False, **loader_kw)
 
     mesh = make_mesh()
     trainer = DiTTrainer(cfg, mesh=mesh)
     ckpt = Checkpointer(out_dir)
 
-    init_batch = next(iter(train_loader))
+    init_batch = (
+        dev_train.batch(0, host_batch, jax.process_index(), jax.process_count())
+        if use_device_data
+        else next(iter(train_loader))
+    )
     state = trainer.init_state(init_batch, seed=cfg.seed)
     print(f"DiT parameters: {trainer.param_count(state):,}")
 
@@ -129,12 +152,20 @@ def main():
     samplenow = args.samplenow
     from gta_tpu.parallel.mesh import shard_batch as _shard
 
+    def train_epoch():
+        if not use_device_data:
+            train_loader.set_epoch(epoch)
+            yield from train_loader
+            return
+        for _ in range(max(1, cfg.data.num_images // t_cfg.batch_size)):
+            yield dev_train.batch(it + 1, host_batch, jax.process_index(), jax.process_count())
+
     while True:
         epoch += 1
-        train_loader.set_epoch(epoch)
-        for batch in train_loader:
+        for batch in train_epoch():
             it += 1
-            batch = {k: np.asarray(v) for k, v in batch.items()}
+            if not use_device_data:
+                batch = {k: np.asarray(v) for k, v in batch.items()}
             scalars_out = {"it": it}
             if t_cfg.checkpoint_every > 0 and it > 0 and it % t_cfg.checkpoint_every == 0:
                 ckpt.save("latest", state, scalars_out)
@@ -147,7 +178,11 @@ def main():
                     sample_grid(it)
                 samplenow = False
             if t_cfg.validate_every > 0 and it > 0 and it % t_cfg.validate_every == 0:
-                eval_dict = trainer.evaluate(state.params, iter(val_loader), seed=cfg.seed)
+                eval_dict = trainer.evaluate(
+                    state.params,
+                    iter(val_batches) if use_device_data else iter(val_loader),
+                    seed=cfg.seed,
+                )
                 print(f"it={it} eval:", eval_dict)
                 log_metrics("eval", eval_dict, it)
 
