@@ -30,10 +30,21 @@ def colorize_clusters(ids: np.ndarray) -> np.ndarray:
     return _PALETTE[np.asarray(ids) % len(_PALETTE)]
 
 
+def checkerboard_composite(rgba: np.ndarray, square: int = 8) -> np.ndarray:
+    """Composite [..., H, W, 4] RGBA over the reference's light checkerboard
+    (visualize.py:7-17): transparent regions show the board."""
+    h, w = rgba.shape[-3:-1]
+    yy, xx = np.meshgrid(np.arange(h) // square, np.arange(w) // square, indexing="ij")
+    board = np.where(((yy + xx) % 2) == 0, 0.8, 0.6)[..., None].astype(np.float32)
+    a = rgba[..., 3:4]
+    return rgba[..., :3] * a + board * (1.0 - a)
+
+
 def draw_visualization_grid(columns, path: str):
     """columns: list of (title, data[, kind]) -> grid PNG at <path>.png.
 
-    kind 'image' (default): data [B, H, W, 3] in [0, 1].
+    kind 'image' (default): data [B, H, W, 3] in [0, 1], or [B, H, W, 4]
+    RGBA composited over a checkerboard (reference visualize.py:7-17).
     kind 'clustering': data [B, H, W] integer ids, palette-colorized.
     """
     import matplotlib
@@ -47,7 +58,10 @@ def draw_visualization_grid(columns, path: str):
         kind = col[2] if len(col) > 2 else "image"
         if kind == "clustering":
             data = colorize_clusters(data)
-        cols.append((title, np.asarray(data)))
+        data = np.asarray(data)
+        if data.ndim == 4 and data.shape[-1] == 4:
+            data = checkerboard_composite(data)
+        cols.append((title, data))
 
     n_rows = cols[0][1].shape[0]
     n_cols = len(cols)
