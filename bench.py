@@ -17,6 +17,7 @@ an optimistic A100 estimate; the >=3x target from BASELINE.md corresponds
 to vs_baseline >= 3.
 """
 
+import argparse
 import dataclasses
 import json
 import sys
@@ -41,11 +42,30 @@ ITERS = 20
 
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 compute policy (PSNR parity demonstrated; reference CLEVR config is fp32, so the default headline stays fp32)",
+    )
+    ap.add_argument(
+        "--flash", default=None, choices=["auto", "on", "off", "fused"],
+        help="override the attention path (default: config 'auto' = fused on TPU)",
+    )
+    args = ap.parse_args()
+    global BATCH, ITERS
+    BATCH, ITERS = args.batch, args.iters
+
     cfg = load_config("/root/repo/runs/clevrtr/GTA/gta/config.yaml")
     data = dataclasses.replace(
         cfg.data, dataset="synthetic", height=120, width=160, downsample=0
     )
-    training = dataclasses.replace(cfg.training, batch_size=BATCH)
+    training = dataclasses.replace(
+        cfg.training, batch_size=BATCH, mixed_prec=args.bf16 or cfg.training.mixed_prec
+    )
+    if args.flash is not None:
+        training = dataclasses.replace(training, flash=args.flash)
     cfg = dataclasses.replace(cfg, data=data, training=training)
 
     ds = SyntheticScenes(cfg.data, "train", num_scenes=BATCH)
