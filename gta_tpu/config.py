@@ -212,6 +212,14 @@ class DataConfig:
     width: int = 320
     # iterable-stream shuffle buffer (reference multishapenet.py:140-141)
     shuffle: Optional[int] = None
+    # emit pre-downsample rays/images alongside the item
+    # (reference clevr_tr.py:261,329,369-373)
+    return_org_rays: bool = False
+    return_org_images: bool = False
+    # accepted-but-inert in the reference too: stored at clevr_tr.py:122,133
+    # and never read again — kept for config-schema parity
+    downsample_target: int = 0
+    load_depth: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -384,6 +392,10 @@ def _parse_data(d: dict) -> DataConfig:
         height=int(kw.get("height", h)),
         width=int(kw.get("width", w)),
         shuffle=int(kw["shuffle"]) if kw.get("shuffle") else None,
+        return_org_rays=bool(kw.get("return_org_rays", False)),
+        return_org_images=bool(kw.get("return_org_images", False)),
+        downsample_target=int(kw.get("downsample_target") or 0),
+        load_depth=bool(kw.get("load_depth", False)),
     )
 
 

@@ -225,6 +225,13 @@ class CLEVRTR:
             [_downsample(self.coord, ds_ic).reshape(-1, 2)] * cfg.num_input_views
         )
 
+        # Pre-downsample copies, emitted on request (clevr_tr.py:261,329).
+        org_extra = {}
+        if cfg.return_org_rays:
+            org_extra["input_org_rays"] = input_rays
+        if cfg.return_org_images:
+            org_extra["org_input_images"] = input_images
+
         tgt_pixels = imgs[target_idx].reshape(cfg.num_target_views, -1, 3)
         tgt_masks = masks[target_idx].reshape(cfg.num_target_views, -1, self.NUM_MAX_ENTITIES)
 
@@ -254,6 +261,7 @@ class CLEVRTR:
                 "input_transforms": input_tf,
                 "transform": canonical.astype(np.float32),
                 "sceneid": np.int32(idx),
+                **org_extra,
             }
 
         base_rays = input_rays[0].reshape(-1, 3)
@@ -303,4 +311,5 @@ class CLEVRTR:
             "target_coord": target_coord.astype(np.float32),
             "transform": canonical.astype(np.float32),
             "sceneid": np.int32(idx),
+            **org_extra,
         }

@@ -99,6 +99,84 @@ class TestClevrMath:
         np.testing.assert_allclose(En, E, atol=1e-8)
 
 
+class TestClevrOnDisk:
+    """End-to-end __getitem__ against a tiny fake on-disk CLEVR-TR layout
+    (reference clevr_tr.py:148-208 disk format)."""
+
+    H, W, NV = 240, 320, 5
+
+    @pytest.fixture()
+    def root(self, tmp_path, rng):
+        import imageio.v2 as imageio
+
+        d = tmp_path / "train"
+        (d / "metadata").mkdir(parents=True)
+        (d / "imgs").mkdir()
+        (d / "masks").mkdir()
+        import json as _json
+
+        for s in range(2):
+            qs, ps = [], []
+            for v in range(self.NV):
+                az = 2 * np.pi * v / self.NV
+                # camera on a ring, quaternion = rotation about z by az
+                qs.append([np.cos(az / 2), 0.0, 0.0, np.sin(az / 2)])
+                ps.append([7 * np.cos(az), 7 * np.sin(az), 4.0])
+                img = (rng.rand(self.H, self.W, 3) * 255).astype(np.uint8)
+                imageio.imwrite(d / "imgs" / f"img_{s}_{v}.png", img)
+                m = rng.randint(0, 7, (self.H, self.W)).astype(np.uint8)
+                imageio.imwrite(d / "masks" / f"masks_{s}_{v}.png", m)
+            meta = {"camera": {"quaternions": qs, "positions": ps}}
+            (d / "metadata" / f"{s}.json").write_text(_json.dumps(meta))
+        return str(tmp_path)
+
+    def test_getitem_shapes(self, root):
+        from gta_tpu.data.clevrtr import CLEVRTR
+
+        cfg = data_cfg(
+            dataset="clevrtr", path=root, num_views=5, num_points=60,
+            downsample=1, return_transform=True,
+        )
+        ds = CLEVRTR(cfg, "train")
+        item = ds[0]
+        assert item["input_images"].shape == (2, 120, 160, 3)
+        assert item["input_rays"].shape == (2, 120, 160, 3)
+        assert item["target_pixels"].shape == (3, 20, 3)
+        np.testing.assert_allclose(item["input_transforms"][0], np.eye(4), atol=1e-5)
+        assert "input_org_rays" not in item
+
+    def test_org_outputs_predownsample(self, root):
+        from gta_tpu.data.clevrtr import CLEVRTR
+
+        cfg = data_cfg(
+            dataset="clevrtr", path=root, num_views=5, num_points=60,
+            downsample=1, return_transform=True,
+            return_org_rays=True, return_org_images=True,
+            # accepted-but-inert, as in the reference (clevr_tr.py:122,133)
+            downsample_target=1, load_depth=True,
+        )
+        item = CLEVRTR(cfg, "train")[0]
+        # org outputs keep full resolution while the mainline is downsampled
+        assert item["input_org_rays"].shape == (2, 240, 320, 3)
+        assert item["org_input_images"].shape == (2, 240, 320, 3)
+        assert item["input_images"].shape == (2, 120, 160, 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(item["input_org_rays"], axis=-1), 1.0, atol=1e-4
+        )
+
+    def test_org_outputs_nontransform_mode(self, root):
+        from gta_tpu.data.clevrtr import CLEVRTR
+
+        cfg = data_cfg(
+            dataset="clevrtr", path=root, num_views=5, num_points=60,
+            return_transform=False, return_org_rays=True, return_org_images=True,
+        )
+        item = CLEVRTR(cfg, "train")[0]
+        assert item["input_org_rays"].shape == (2, 240, 320, 3)
+        assert item["org_input_images"].shape == (2, 240, 320, 3)
+        assert item["target_rays"].shape == (60, 3)
+
+
 class TestMSNPrep:
     def _scene(self, rng):
         NV, H, W = 10, 16, 16
