@@ -54,29 +54,28 @@ def main():
         help="override the attention path (default: config 'auto' = fused on TPU)",
     )
     args = ap.parse_args()
-    global BATCH, ITERS
-    BATCH, ITERS = args.batch, args.iters
+    batch, iters = args.batch, args.iters
 
     cfg = load_config("/root/repo/runs/clevrtr/GTA/gta/config.yaml")
     data = dataclasses.replace(
         cfg.data, dataset="synthetic", height=120, width=160, downsample=0
     )
     training = dataclasses.replace(
-        cfg.training, batch_size=BATCH, mixed_prec=args.bf16 or cfg.training.mixed_prec
+        cfg.training, batch_size=batch, mixed_prec=args.bf16 or cfg.training.mixed_prec
     )
     if args.flash is not None:
         training = dataclasses.replace(training, flash=args.flash)
     cfg = dataclasses.replace(cfg, data=data, training=training)
 
-    ds = SyntheticScenes(cfg.data, "train", num_scenes=BATCH)
-    batch = jax.tree.map(jnp.asarray, collate([ds[i] for i in range(BATCH)]))
+    ds = SyntheticScenes(cfg.data, "train", num_scenes=batch)
+    batch_data = jax.tree.map(jnp.asarray, collate([ds[i] for i in range(batch)]))
 
     trainer = Trainer(cfg)
-    state = trainer.init_state(batch)
+    state = trainer.init_state(batch_data)
     rng = jax.random.PRNGKey(0)
 
     for _ in range(WARMUP):
-        state, metrics = trainer.train_step(state, batch, rng)
+        state, metrics = trainer.train_step(state, batch_data, rng)
     float(metrics["loss"])  # host fetch: hard sync
 
     # Time ITERS chained steps between two host syncs. Per-step
@@ -84,11 +83,11 @@ def main():
     # return before device completion); the state dependency chain plus a
     # final host fetch measures true sustained throughput.
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = trainer.train_step(state, batch, rng)
+    for _ in range(iters):
+        state, metrics = trainer.train_step(state, batch_data, rng)
     float(metrics["loss"])
-    step = (time.perf_counter() - t0) / ITERS
-    rays_per_sec = BATCH * cfg.data.num_points / step
+    step = (time.perf_counter() - t0) / iters
+    rays_per_sec = batch * cfg.data.num_points / step
     print(
         json.dumps(
             {
@@ -101,7 +100,7 @@ def main():
     )
     print(
         f"# device={jax.devices()[0].device_kind} step={step*1e3:.1f}ms "
-        f"batch={BATCH} rays/step={BATCH * cfg.data.num_points}",
+        f"batch={batch} rays/step={batch * cfg.data.num_points}",
         file=sys.stderr,
     )
 
