@@ -94,12 +94,17 @@ def render_spheres(camera_pos, rays, centers, radii, colors):
 
     t_fin = jnp.where(hit_any, t_near, 1.0)
     p = camera_pos[None, None] + rays * t_fin[..., None]
-    n = p - centers[k_near]
+    # One-hot contraction instead of centers[k_near]/colors[k_near]: per-pixel
+    # integer gathers serialize through scalar memory on TPU (measured
+    # 2 x 17.5 ms/step at batch 32 — scripts/profile_ops.py), while the
+    # [H*W, K] x [K, 3] contraction rides the vector units.
+    oh = jax.nn.one_hot(k_near, centers.shape[0], dtype=rays.dtype)  # [H, W, K]
+    n = p - jnp.einsum("hwk,kc->hwc", oh, centers)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
     light = jnp.asarray([0.4, 0.3, 0.85])
     light = light / jnp.linalg.norm(light)
     shade = 0.35 + 0.65 * jnp.clip(jnp.sum(n * light, -1), 0.0, 1.0)
-    obj = colors[k_near] * shade[..., None]
+    obj = jnp.einsum("hwk,kc->hwc", oh, colors) * shade[..., None]
 
     bg = 0.5 + 0.4 * rays[..., 2:3] * jnp.asarray([0.6, 0.7, 1.0])[None, None]
     img = jnp.where(hit_any[..., None], obj, bg)

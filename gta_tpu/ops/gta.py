@@ -90,6 +90,126 @@ def _apply_so2(rotors, x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     return y.reshape(B, H, T, C)
 
 
+# ---------------------------------------------------------------------------
+# Full-width rep application (opt-in, measured SLOWER — kept as a documented
+# negative result with parity tests).
+#
+# Motivation: profiling the flagship train step showed ~28% of device time
+# in copy/slice/reshape/pad (scripts/profile_ops.py), much of it around the
+# sliced path's slice -> einsum -> concatenate structure. The idea here was
+# to apply the block-diagonal rep *full width* — SE(3) 4x4 on every vec4
+# group, identity-padded SO(2) rotors — and stitch with a channel-mask
+# select, so XLA fuses one elementwise pass with no slice/concat.
+#
+# Measured on the v5e (flagship CLEVR fp32 batch 32 train step, chained
+# timing; sliced baseline 119.4 ms):
+#   * broadcast-mul-reduce vec4 apply ([..,4,4] intermediate): 174.8 ms
+#   * unrolled 4-term accumulation:                            221.6 ms
+#   * batched einsum "btij,bhtgj->bhtgi" full width:           257.0 ms
+# The jnp.where stitch forces both group transforms to compute and
+# materialize over the full channel width (plus their VJPs), which costs
+# far more than the slices it removes. The sliced path stays the default.
+# ---------------------------------------------------------------------------
+
+
+def _fullwidth_ok(args: GTAArgs) -> bool:
+    fd = args.f_dims
+    if args.euclid_sim:
+        return False
+    C = fd.total
+    for name, st, ed in fd.slices():
+        if name not in ("triv", "se3", "so2"):
+            return False
+        if name == "se3" and (st % 4 or C % 4):
+            return False
+        if name == "so2" and (st % 2 or C % 2):
+            return False
+    return True
+
+
+def _per_token_mats(A: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Expand [B, N, 4, 4] (or view-token [B, N, T', 4, 4]) to [B, T, 4, 4]."""
+    B = A.shape[0]
+    if A.ndim == 5:
+        return A.reshape(B, -1, 4, 4)
+    return jnp.repeat(A, T // A.shape[1], axis=1)
+
+
+def _fw_masks(fd) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """Boolean channel masks [C] for the se3 and so2 spans (None if absent)."""
+    import numpy as np
+
+    C = fd.total
+    se3 = np.zeros((C,), bool)
+    so2 = np.zeros((C,), bool)
+    for name, st, ed in fd.slices():
+        if name == "se3":
+            se3[st:ed] = True
+        elif name == "so2":
+            so2[st:ed] = True
+    return (
+        jnp.asarray(se3) if se3.any() else None,
+        jnp.asarray(so2) if so2.any() else None,
+    )
+
+
+def _fw_rotors(rotors, fd, dtype):
+    """Identity-pad (cos, sin) [B, T, R_so2] to full width [B, T, C//2]."""
+    cos, sin = rotors
+    B, T = cos.shape[0], cos.shape[1]
+    cps, sps = [], []
+    for name, st, ed in fd.slices():
+        r = (ed - st) // 2
+        if name == "so2":
+            cps.append(cos.astype(dtype))
+            sps.append(sin.astype(dtype))
+        else:
+            cps.append(jnp.ones((B, T, r), dtype))
+            sps.append(jnp.zeros((B, T, r), dtype))
+    return jnp.concatenate(cps, -1), jnp.concatenate(sps, -1)
+
+
+def _fw_apply(
+    x: jnp.ndarray,
+    se3_M: Optional[jnp.ndarray],
+    rotors,
+    args: GTAArgs,
+    inverse_rotor: bool = False,
+) -> jnp.ndarray:
+    """Apply the block-diagonal rep to all of x [B, H, T, C] in one fused pass.
+
+    se3_M: per-token [B, T, 4, 4] (already masked/scaled), or None.
+    rotors: full-width identity-padded (cos, sin) [B, T, C//2], or None.
+    """
+    fd = args.f_dims
+    B, H, T, C = x.shape
+    mask_se3, mask_so2 = _fw_masks(fd)
+    out = x
+    if rotors is not None:
+        c, s = rotors
+        xr = x.reshape(B, H, T, C // 2, 2)
+        y = apply_rotor_inv(c[:, None], s[:, None], xr) if inverse_rotor else apply_rotor(
+            c[:, None], s[:, None], xr
+        )
+        out = jnp.where(mask_so2, y.reshape(B, H, T, C), out)
+    if se3_M is not None:
+        xg = x.reshape(B, H, T, C // 4, 4)
+        y4 = jnp.einsum("btij,bhtgj->bhtgi", se3_M, xg)
+        out = jnp.where(mask_se3, y4.reshape(B, H, T, C), out)
+    return out
+
+
+def _fw_se3_sides(reps: GeomReps, args: GTAArgs, trans_coeff, Tq: int, Tk: int, dtype):
+    """Per-token masked/scaled SE(3) mats for (q, k, out-inverse) sides."""
+    if reps.se3_q is None:
+        return None, None, None
+    msk = scale_mask(trans_coeff if trans_coeff is not None else 1.0, dtype)
+    q = _per_token_mats(jnp.swapaxes(reps.se3_q_inv * msk, -1, -2), Tq)
+    k = _per_token_mats(reps.se3_k * msk, Tk)
+    oq = _per_token_mats(reps.se3_q_inv * msk, Tq)
+    return q, k, oq
+
+
 def _view_counts(reps: GeomReps) -> Tuple[Optional[int], Optional[int]]:
     """Static query/key view counts from rep table shapes (trace-time)."""
     nq = nk = None
@@ -111,10 +231,27 @@ def gta_transform_qkv(
     reps: GeomReps,
     args: GTAArgs,
     trans_coeff: Optional[jnp.ndarray],
+    impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Apply group reps to (q, k, v) slices. Shapes [B, H, T, C]."""
+    """Apply group reps to (q, k, v) slices. Shapes [B, H, T, C].
+
+    impl: 'auto'/'sliced' use the slice/einsum/concat form (the measured
+    winner on TPU — see the full-width note above); 'fullwidth' opts into
+    the masked full-width form (tests cross-check the two).
+    """
     fd = args.f_dims
     v_transform = args.v_transform
+
+    if impl == "fullwidth" and _fullwidth_ok(args):
+        Tq, Tk = q.shape[2], k.shape[2]
+        Mq, Mk, _ = _fw_se3_sides(reps, args, trans_coeff, Tq, Tk, q.dtype)
+        rot_q = _fw_rotors(reps.so2_q, fd, q.dtype) if reps.so2_q is not None else None
+        rot_k = _fw_rotors(reps.so2_k, fd, k.dtype) if reps.so2_k is not None else None
+        qt = _fw_apply(q, Mq, rot_q, args)
+        kt = _fw_apply(k, Mk, rot_k, args)
+        vt = _fw_apply(v, Mk, rot_k, args) if v_transform else v
+        return qt, kt, vt
+
     nq_views, nk_views = _view_counts(reps)
     qs, ks, vs = [], [], []
 
@@ -171,9 +308,17 @@ def gta_untransform_out(
     reps: GeomReps,
     args: GTAArgs,
     trans_coeff: Optional[jnp.ndarray],
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Apply the inverse query rep to the attention output (v_transform only)."""
     fd = args.f_dims
+
+    if impl == "fullwidth" and _fullwidth_ok(args):
+        Tq = out.shape[2]
+        _, _, Moq = _fw_se3_sides(reps, args, trans_coeff, Tq, Tq, out.dtype)
+        rot_q = _fw_rotors(reps.so2_q, fd, out.dtype) if reps.so2_q is not None else None
+        return _fw_apply(out, Moq, rot_q, args, inverse_rotor=True)
+
     nq_views, _ = _view_counts(reps)
     outs = []
     for name, st, ed in fd.slices():

@@ -188,3 +188,56 @@ def test_cross_attention_invariance(rng):
     )
     np.testing.assert_allclose(attn1, attn0, atol=2e-4)
     np.testing.assert_allclose(out1, out0, atol=2e-4)
+
+
+class TestFullwidthPath:
+    """The full-width rep application (gta.py `_fw_apply`) must match the
+    slice/einsum/concat oracle on every applicable group mix. Full-width is
+    an opt-in documented *negative result* (measured slower on the v5e —
+    see the note in ops/gta.py), but it stays correct and tested."""
+
+    MIXES = [
+        GTAArgs(f_dims=FDims(se3=32, so2=32), so2=8),          # flagship CLEVR
+        GTAArgs(f_dims=FDims(triv=4, se3=8, so2=8), so2=2),
+        GTAArgs(f_dims=FDims(so2=16), so2=4),
+        GTAArgs(f_dims=FDims(se3=16)),
+        GTAArgs(f_dims=FDims(triv=4, se3=8, so2=8), so2=2, v_transform=False),
+        GTAArgs(f_dims=FDims(se3=8, so2=8), so2=2, ray_to_se3=True),
+    ]
+
+    @pytest.mark.parametrize("args", MIXES, ids=lambda a: repr(a.f_dims))
+    def test_transform_matches_sliced(self, rng, args):
+        from gta_tpu.ops.gta import (
+            _fullwidth_ok,
+            gta_transform_qkv,
+            gta_untransform_out,
+        )
+
+        assert _fullwidth_ok(args)
+        coord, transforms, rays = _geom(rng, args)
+        q, k, v = _qkv(rng, args.f_dims.total)
+        reps = encoder_reps(args, coord, transforms, rays)
+        tc = jnp.asarray(0.1)
+
+        got = gta_transform_qkv(q, k, v, reps, args, tc, impl="fullwidth")
+        want = gta_transform_qkv(q, k, v, reps, args, tc, impl="sliced")
+        for g, w, nm in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-5, err_msg=nm
+            )
+
+        if args.v_transform:
+            o = jnp.asarray(rng.randn(B, H, T, args.f_dims.total).astype(np.float32))
+            go = gta_untransform_out(o, reps, args, tc, impl="fullwidth")
+            wo = gta_untransform_out(o, reps, args, tc, impl="sliced")
+            np.testing.assert_allclose(np.asarray(go), np.asarray(wo), atol=1e-5)
+
+    def test_not_applicable_mixes_fall_back(self):
+        from gta_tpu.ops.gta import _fullwidth_ok
+
+        assert not _fullwidth_ok(FULL_ARGS)  # so3/t2 present
+        assert not _fullwidth_ok(
+            GTAArgs(f_dims=FDims(se3=9, so2=8), so2=2, euclid_sim=True)
+        )
+        # misaligned se3 start breaks the vec4 grouping
+        assert not _fullwidth_ok(GTAArgs(f_dims=FDims(triv=2, se3=8), so2=2))
