@@ -62,13 +62,17 @@ def main():
             ),
         )
 
-    H, W = cfg.data.height, cfg.data.width
-    if cfg.data.downsample:
-        H, W = H // 2**cfg.data.downsample, W // 2**cfg.data.downsample
-
     out_dir = args.outdir or os.path.dirname(args.config)
     trainer = Trainer(cfg)
     dataset = get_dataset("test", cfg.data, full_scale=True, max_len=args.max_scenes)
+
+    # Full-scale targets come at the dataset's native resolution (CLEVR-TR:
+    # 240x320 regardless of `downsample`, which only shrinks the inputs —
+    # the reference scores full frames, evaluate.py:91). Prefer the
+    # dataset's own h/w; fall back to the config dims (MSN-style datasets
+    # without input downsampling).
+    H = getattr(dataset, "h", cfg.data.height)
+    W = getattr(dataset, "w", cfg.data.width)
 
     item0 = dataset[0] if hasattr(dataset, "__getitem__") else next(iter(dataset))
     batch0 = jax.tree.map(jnp.asarray, collate([item0]))
@@ -137,6 +141,7 @@ def main():
             ssims.append(float(ssim_fn(jnp.asarray(pred), jnp.asarray(gt))))
             if lpips_vgg is not None:
                 lp_v.append(lpips_vgg(pred, gt))
+            if lpips_alex is not None:
                 lp_a.append(lpips_alex(pred, gt))
         if (i + 1) % 10 == 0:
             print(f"scene {i + 1}/{n}: psnr={np.mean(psnrs):.3f} ssim={np.mean(ssims):.4f}")
@@ -149,6 +154,7 @@ def main():
     }
     if lp_v:
         results["lpips_vgg"] = float(np.mean(lp_v))
+    if lp_a:
         results["lpips_alex"] = float(np.mean(lp_a))
     print(json.dumps(results))
     with open(os.path.join(out_dir, "eval_results.json"), "w") as f:

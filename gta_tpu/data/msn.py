@@ -258,8 +258,12 @@ class MultiShapeNet:
             if shardable != self.num_items:
                 ds = ds.take(shardable)
             ds = ds.shard(num_shards=n_shard, index=index)
-        if self._skip:
-            ds = ds.skip(self._skip)
+        # Stream-position resume applies to the FIRST epoch after the
+        # restore only; later epochs must replay the full shard (consuming
+        # the skip here resets it).
+        skip, self._skip = self._skip, 0
+        if skip:
+            ds = ds.skip(skip)
         if self.shuffle and self.mode == "train":
             ds = ds.shuffle(self.shuffle)
 
@@ -268,7 +272,7 @@ class MultiShapeNet:
         # would otherwise starve the device — the analogue of the
         # reference's world_size x num_workers loader parallelism
         # (multishapenet.py:110-138) within one host process.
-        start = self._skip
+        start = skip
         with ThreadPoolExecutor(self.prep_workers) as pool:
             window: collections.deque = collections.deque()
             for i, data in enumerate(ds.as_numpy_iterator()):

@@ -229,6 +229,8 @@ def collate(items) -> SceneBatch:
         "target_coord",
         "transform",
         "sceneid",
+        "input_org_rays",
+        "org_input_images",
     ]
     stacked = {k: np.stack([it[k] for it in items]) for k in keys if k in items[0]}
     return SceneBatch(**stacked)

@@ -33,6 +33,10 @@ class SceneBatch:
     target_coord: Optional[jnp.ndarray] = None  # [B, Nt, P, 2]
     transform: Optional[jnp.ndarray] = None  # [B, 4, 4] canonical extrinsic
     sceneid: Optional[jnp.ndarray] = None  # [B]
+    # pre-downsample extras (reference clevr_tr.py:261,329) — item-level
+    # passthrough requested via return_org_rays / return_org_images
+    input_org_rays: Optional[jnp.ndarray] = None  # [B, N, H0, W0, 3]
+    org_input_images: Optional[jnp.ndarray] = None  # [B, N, H0, W0, 3]
 
 
 @struct.dataclass

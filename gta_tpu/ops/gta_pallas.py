@@ -63,6 +63,12 @@ def fused_gta_attention(
     qt, kt, vt = gta_transform_qkv(q, k, v, reps, args, trans_coeff)
     if k.shape[2] <= MAX_TK:
         out = flash_core(qt, kt, vt, float(scale), interpret)
+    elif interpret:
+        # CPU/interpret callers have no TPU flash kernel to fall back to —
+        # use the XLA softmax composition (exact, just materializes the map)
+        from gta_tpu.ops.attention import dot_product_attention
+
+        out, _ = dot_product_attention(qt, kt, vt, scale=float(scale))
     else:
         from gta_tpu.ops.flash import flash_attention
 

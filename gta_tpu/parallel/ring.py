@@ -55,8 +55,7 @@ def ring_attention(
     perm = [(i, (i + 1) % n) for i in range(n)]
     qf = q.astype(jnp.float32)
 
-    def step(carry, _):
-        o, m, l, kc, vc = carry
+    def fold(o, m, l, kc, vc):
         s = jnp.einsum("bhqc,bhkc->bhqk", qf, kc.astype(jnp.float32)) * scale
         m_blk = jnp.max(s, -1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
@@ -64,16 +63,24 @@ def ring_attention(
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, -1, keepdims=True)
         o = o * alpha + jnp.einsum("bhqk,bhkc->bhqc", p, vc.astype(jnp.float32))
+        return o, m_new, l
+
+    def step(carry, _):
+        o, m, l, kc, vc = carry
+        o, m, l = fold(o, m, l, kc, vc)
         kc = jax.lax.ppermute(kc, axis_name, perm)
         vc = jax.lax.ppermute(vc, axis_name, perm)
-        return (o, m_new, l, kc, vc), None
+        return (o, m, l, kc, vc), None
 
     # Derive the accumulators from q so their varying-axes type matches the
     # loop-carried value when q itself is sharded over the ring axis.
     o0 = qf * 0.0
     m0 = qf[..., :1] * 0.0 - jnp.inf
     l0 = qf[..., :1] * 0.0
-    (o, _, l, _, _), _ = jax.lax.scan(step, (o0, m0, l0, k, v), None, length=n)
+    # n-1 rotating steps; the last block folds outside the scan so its KV
+    # never rides a wasted final ppermute pair over ICI.
+    (o, m, l, kc, vc), _ = jax.lax.scan(step, (o0, m0, l0, k, v), None, length=n - 1)
+    o, _, l = fold(o, m, l, kc, vc)
     return (o / l).astype(q.dtype)
 
 

@@ -222,7 +222,14 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_data = mesh.shape.get("data", 1)
-            if n_data > 1:
+            # visualize() runs on process 0 only (train.py), so a global
+            # mesh with non-addressable devices cannot be used here —
+            # fall back to the chunk loop on multi-host meshes.
+            local_only = all(
+                d.process_index == jax.process_index()
+                for d in mesh.devices.flat
+            )
+            if n_data > 1 and local_only:
                 chunk = chunk * n_data
                 spec = (
                     P(None, None, "data", None)

@@ -39,3 +39,31 @@ def test_iterable_keep_last():
     batches = list(loader)
     assert len(batches) == 3
     assert batches[-1].input_images.shape[0] == 2
+
+
+def test_msn_stream_skip_applies_to_first_epoch_only():
+    """skip(n) after a checkpoint resume must drop items from the FIRST
+    epoch only; later epochs replay the full shard (a sticky skip would
+    permanently starve the head of the stream)."""
+    import tensorflow as tf
+
+    from gta_tpu.data.msn import MultiShapeNet
+
+    ds = object.__new__(MultiShapeNet)
+    ds.cfg = None
+    ds.mode = "train"
+    ds.shuffle = None
+    ds.seed = 0
+    ds._skip = 0
+    ds.prep_workers = 2
+    ds.num_items = 8
+    ds.tf_dataset = tf.data.Dataset.range(8)
+    ds._prep = lambda i, data: (i, int(data))
+
+    ds.skip(3)
+    first = list(ds)
+    second = list(ds)
+    # first epoch: items 3..7, with stream positions continuing from 3
+    assert first == [(3 + j, 3 + j) for j in range(5)]
+    # second epoch: full stream again, positions restart at 0
+    assert second == [(j, j) for j in range(8)]
