@@ -25,9 +25,16 @@ so they stay VMEM-resident across all query blocks of a head.
 
 Backward: one kernel, same grid; dq written per query block; dk/dv
 accumulated into (b, h)-indexed output blocks that Pallas keeps in VMEM
-across the sequential iq steps. Zero-padded g rows/masked keys contribute
-exactly zero to every cotangent, so no segment masking is needed beyond
-the -inf key mask.
+across the sequential iq steps.
+
+No host-side padding: operands go to the kernel at their natural lengths
+(the flagship decoder's Tq is 3x853 = 2559, keys 600) and ragged edge
+blocks are handled by Mosaic's masked edge stores plus in-kernel masking
+— key columns past Tk get -inf scores, and the backward zeroes the
+p/g rows past Tq so undefined edge-row reads contribute exactly zero to
+the dk/dv accumulations. The former jnp.pad/slice wrappers were full-tensor
+HBM copies of q/k/v/o in the forward AND backward of every layer (~8 copies
+per attention call at batch 32) — measurably pure overhead.
 
 Matmuls run with bf16 operands and fp32 accumulation (XLA's default
 matmul policy for fp32 operands on TPU); softmax is always fp32.
@@ -49,10 +56,6 @@ NEG_INF = -1e30
 MAX_TK = 2048
 
 
-def _ceil_to(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
-
-
 def _pick_block_q(tq: int) -> int:
     for b in (512, 256, 128):
         if tq >= b:
@@ -71,7 +74,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, tk_actual, mxu_dtype):
     q = q_ref[0, 0]
     kt = k_ref[0, 0]
     vt = v_ref[0, 0]
-    s = _dot(q, kt, (((1,), (1,))), mxu_dtype) * scale  # [bq, Tk_p]
+    s = _dot(q, kt, (((1,), (1,))), mxu_dtype) * scale  # [bq, Tk]
     key_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(key_pos < tk_actual, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -81,7 +84,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, tk_actual, mxu_dtype):
 
 
 def _bwd_kernel(
-    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale, tk_actual, mxu_dtype
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, scale, tk_actual, tq_actual, bq, mxu_dtype,
 ):
     iq = pl.program_id(2)
 
@@ -90,19 +94,29 @@ def _bwd_kernel(
         dk_ref[0, 0, :, :] = jnp.zeros_like(dk_ref[0, 0])
         dv_ref[0, 0, :, :] = jnp.zeros_like(dv_ref[0, 0])
 
+    # Ragged-edge query rows read undefined data (NaN in interpret mode);
+    # zero q and g rows past Tq up front so every contraction over the row
+    # axis (dk = ds^T q, dv = p^T g) gets exact zeros, not 0 x NaN. Their
+    # dq rows are edge-masked on store.
     q = q_ref[0, 0]
+    row_ok = (
+        jax.lax.broadcasted_iota(jnp.int32, q.shape, 0) + iq * bq < tq_actual
+    )
+    q = jnp.where(row_ok, q, 0.0)
     kt = k_ref[0, 0]
     vt = v_ref[0, 0]
-    g = g_ref[0, 0].astype(jnp.float32)
+    g = jnp.where(row_ok, g_ref[0, 0].astype(jnp.float32), 0.0)
 
-    s = _dot(q, kt, (((1,), (1,))), mxu_dtype) * scale  # [bq, Tk_p]
+    s = _dot(q, kt, (((1,), (1,))), mxu_dtype) * scale  # [bq, Tk]
     key_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(key_pos < tk_actual, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # softmax rows [bq, Tk_p]
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # softmax rows [bq, Tk]
+    row_pos = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) + iq * bq
+    p = jnp.where(row_pos < tq_actual, p, 0.0)
 
-    dp = _dot(g, vt, (((1,), (1,))), mxu_dtype)  # [bq, Tk_p]
+    dp = _dot(g, vt, (((1,), (1,))), mxu_dtype)  # [bq, Tk]
     # softmax VJP: ds = p * (dp - rowsum(p * dp)); rowsum(p*dp) == rowsum(g*o)
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = p * (dp - delta) * scale
@@ -112,65 +126,52 @@ def _bwd_kernel(
     dv_ref[0, 0, :, :] += _dot(p, g, (((0,), (0,))), mxu_dtype).astype(dv_ref.dtype)
 
 
-def _pad(x, t_p):
-    pad = t_p - x.shape[2]
-    return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else x
-
-
 def _fwd_call(q, k, v, scale, interpret):
     B, H, Tq, C = q.shape
     Tk = k.shape[2]
     bq = _pick_block_q(Tq)
-    tq_p, tk_p = _ceil_to(Tq, bq), _ceil_to(Tk, LANE)
-    qp, kp, vp = _pad(q, tq_p), _pad(k, tk_p), _pad(v, tk_p)
     mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
 
-    grid = (B, H, tq_p // bq)
+    grid = (B, H, pl.cdiv(Tq, bq))
     qspec = pl.BlockSpec((1, 1, bq, C), lambda b, h, iq: (b, h, iq, 0))
-    kspec = pl.BlockSpec((1, 1, tk_p, C), lambda b, h, iq: (b, h, 0, 0))
-    out = pl.pallas_call(
+    kspec = pl.BlockSpec((1, 1, Tk, C), lambda b, h, iq: (b, h, 0, 0))
+    return pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, tk_actual=Tk, mxu_dtype=mxu_dtype
         ),
         grid=grid,
         in_specs=[qspec, kspec, kspec],
         out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(qp, kp, vp)
-    return out[:, :, :Tq, :]
+    )(q, k, v)
 
 
 def _bwd_call(q, k, v, g, scale, interpret):
     B, H, Tq, C = q.shape
     Tk = k.shape[2]
     bq = _pick_block_q(Tq)
-    tq_p, tk_p = _ceil_to(Tq, bq), _ceil_to(Tk, LANE)
-    qp, kp, vp, gp = _pad(q, tq_p), _pad(k, tk_p), _pad(v, tk_p), _pad(g, tq_p)
     mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
 
-    grid = (B, H, tq_p // bq)
+    grid = (B, H, pl.cdiv(Tq, bq))
     qspec = pl.BlockSpec((1, 1, bq, C), lambda b, h, iq: (b, h, iq, 0))
-    kspec = pl.BlockSpec((1, 1, tk_p, C), lambda b, h, iq: (b, h, 0, 0))
+    kspec = pl.BlockSpec((1, 1, Tk, C), lambda b, h, iq: (b, h, 0, 0))
     dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, scale=scale, tk_actual=Tk, mxu_dtype=mxu_dtype
+            _bwd_kernel, scale=scale, tk_actual=Tk, tq_actual=Tq, bq=bq,
+            mxu_dtype=mxu_dtype,
         ),
         grid=grid,
         in_specs=[qspec, kspec, kspec, qspec],
         out_specs=(qspec, kspec, kspec),
         out_shape=(
-            jax.ShapeDtypeStruct(qp.shape, jnp.float32),
-            jax.ShapeDtypeStruct(kp.shape, jnp.float32),
-            jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(q.shape, jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
         ),
         interpret=interpret,
-    )(qp, kp, vp, gp)
-    return (
-        dq[:, :, :Tq].astype(q.dtype),
-        dk[:, :, :Tk].astype(k.dtype),
-        dv[:, :, :Tk].astype(v.dtype),
-    )
+    )(q, k, v, g)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
