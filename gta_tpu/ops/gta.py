@@ -210,6 +210,134 @@ def _fw_se3_sides(reps: GeomReps, args: GTAArgs, trans_coeff, Tq: int, Tk: int, 
     return q, k, oq
 
 
+# ---------------------------------------------------------------------------
+# Block-diagonal rep application (the TPU default where it applies).
+#
+# All per-VIEW group factors (SE(3) vec4 blocks, SO(3) Wigner blocks,
+# identity on triv and so2 spans) compose into ONE [C, C] block-diagonal
+# matrix per view, so the whole per-view action is a single full-width
+# einsum on the MXU; the per-TOKEN SO(2) rotors then ride one full-width
+# RoPE pass with identity (cos=1, sin=0) padding outside the so2 span —
+# identity rotors act as identity, so no mask/stitch is needed anywhere.
+#
+# Why: profiling showed the sliced slice -> narrow-einsum -> concat form
+# spends ~28% of the train step in copy/slice/reshape/pad, and its [.., 32]
+# intermediates waste 3/4 of each 128-lane tile. The block-diag form reads
+# and writes each operand exactly once at full width. The extra matmul
+# FLOPs (C^2 vs C*4 per token) are ~1% of the step on the MXU. The sliced
+# path remains for the cases a per-view matrix cannot express: per-token
+# SE(3) tables (MSN ray_to_se3 decoder queries), T(2) per-token 3x3s, and
+# euclid_sim's non-linear homogenize.
+# ---------------------------------------------------------------------------
+
+
+def _blockdiag_ok(reps: GeomReps, args: GTAArgs) -> bool:
+    if args.euclid_sim:
+        return False
+    for name, _, _ in args.f_dims.slices():
+        if name == "t2":
+            return False
+    if reps.se3_q is not None and (reps.se3_q.ndim != 4 or reps.se3_k.ndim != 4):
+        return False
+    if any(name == "so2" for name, _, _ in args.f_dims.slices()):
+        # full-width rotor pairing needs every span 2-aligned
+        if any((ed - st) % 2 for _, st, ed in args.f_dims.slices()):
+            return False
+    return True
+
+
+def _block_repeat(A: jnp.ndarray, g: int) -> jnp.ndarray:
+    """[B, N, d, d] -> block-diag repeat [B, N, g*d, g*d]."""
+    B, N, d, _ = A.shape
+    M = jnp.zeros((B, N, g, g, d, d), A.dtype)
+    M = M.at[:, :, jnp.arange(g), jnp.arange(g)].set(A[:, :, None])
+    return M.transpose(0, 1, 2, 4, 3, 5).reshape(B, N, g * d, g * d)
+
+
+def _blockdiag_mat(
+    reps: GeomReps,
+    args: GTAArgs,
+    trans_coeff: Optional[jnp.ndarray],
+    side: str,
+    dtype,
+) -> Optional[jnp.ndarray]:
+    """Compose the per-view [B, N, C, C] block-diagonal rep for one side.
+
+    side: 'q' (inverse-transpose), 'k' (forward), 'out' (inverse).
+    Identity on triv and so2 spans (so2 is per-token, applied separately).
+    Returns None when every span is identity (pure-so2/triv configs).
+    """
+    fd = args.f_dims
+    C = fd.total
+    parts = []
+    nontrivial = False
+    for name, st, ed in fd.slices():
+        w = ed - st
+        if name == "se3":
+            msk = scale_mask(trans_coeff if trans_coeff is not None else 1.0, dtype)
+            if side == "q":
+                A = jnp.swapaxes(reps.se3_q_inv * msk, -1, -2)
+            elif side == "k":
+                A = reps.se3_k * msk
+            else:
+                A = reps.se3_q_inv * msk
+            parts.append(_block_repeat(A.astype(dtype), w // 4))
+            nontrivial = True
+        elif name == "so3":
+            Ds = reps.so3_q if side in ("q", "out") else reps.so3_k
+            blocks = []
+            for D in Ds:
+                D = jax.lax.stop_gradient(D).astype(dtype)  # reference detaches
+                if side in ("q", "out"):
+                    # orthogonal: inverse-transpose == forward; 'out' wants
+                    # the inverse == transpose (sliced path transpose=True)
+                    D = D if side == "q" else jnp.swapaxes(D, -1, -2)
+                blocks.append(D)
+            total = sum(b.shape[-1] for b in blocks)
+            B, N = blocks[0].shape[:2]
+            stack = jnp.zeros((B, N, total, total), dtype)
+            cur = 0
+            for b in blocks:
+                d = b.shape[-1]
+                stack = stack.at[:, :, cur : cur + d, cur : cur + d].set(b)
+                cur += d
+            parts.append(_block_repeat(stack, w // total))
+            nontrivial = True
+        else:  # triv / so2: identity
+            parts.append(None)
+    if not nontrivial:
+        return None
+    shapes = [p for p in parts if p is not None]
+    B, N = shapes[0].shape[:2]
+    M = jnp.zeros((B, N, C, C), dtype)
+    for (name, st, ed), p in zip(fd.slices(), parts):
+        if p is None:
+            idx = jnp.arange(st, ed)
+            M = M.at[:, :, idx, idx].set(1.0)
+        else:
+            M = M.at[:, :, st:ed, st:ed].set(p)
+    return M
+
+
+def _apply_blockdiag(M: jnp.ndarray, x: jnp.ndarray, n_views: int) -> jnp.ndarray:
+    B, H, T, C = x.shape
+    xr = x.reshape(B, H, n_views, T // n_views, C)
+    y = jnp.einsum("bnij,bhntj->bhnti", M, xr)
+    return y.reshape(B, H, T, C)
+
+
+def _apply_so2_fullwidth(rotors, fd, x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    cos, sin = _fw_rotors(rotors, fd, x.dtype)
+    B, H, T, C = x.shape
+    xr = x.reshape(B, H, T, C // 2, 2)
+    y = (
+        apply_rotor_inv(cos[:, None], sin[:, None], xr)
+        if inverse
+        else apply_rotor(cos[:, None], sin[:, None], xr)
+    )
+    return y.reshape(B, H, T, C)
+
+
 def _view_counts(reps: GeomReps) -> Tuple[Optional[int], Optional[int]]:
     """Static query/key view counts from rep table shapes (trace-time)."""
     nq = nk = None
@@ -235,12 +363,29 @@ def gta_transform_qkv(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Apply group reps to (q, k, v) slices. Shapes [B, H, T, C].
 
-    impl: 'auto'/'sliced' use the slice/einsum/concat form (the measured
-    winner on TPU — see the full-width note above); 'fullwidth' opts into
-    the masked full-width form (tests cross-check the two).
+    impl: 'auto' uses the block-diagonal per-view matmul + full-width rotor
+    form where it applies (see the block-diag note above) and falls back to
+    'sliced' (slice/einsum/concat) otherwise; 'sliced' forces the fallback;
+    'fullwidth' opts into the masked full-width form (a measured negative
+    result, kept for the record — tests cross-check all three).
     """
     fd = args.f_dims
     v_transform = args.v_transform
+
+    if impl in ("auto", "blockdiag") and _blockdiag_ok(reps, args):
+        nq, nk = _view_counts(reps)
+        Mq = _blockdiag_mat(reps, args, trans_coeff, "q", q.dtype)
+        Mk = _blockdiag_mat(reps, args, trans_coeff, "k", k.dtype)
+        qt = _apply_blockdiag(Mq, q, nq) if Mq is not None else q
+        kt = _apply_blockdiag(Mk, k, nk) if Mk is not None else k
+        vt = (_apply_blockdiag(Mk, v, nk) if Mk is not None else v) if v_transform else v
+        if reps.so2_q is not None:
+            qt = _apply_so2_fullwidth(reps.so2_q, fd, qt)
+        if reps.so2_k is not None:
+            kt = _apply_so2_fullwidth(reps.so2_k, fd, kt)
+            if v_transform:
+                vt = _apply_so2_fullwidth(reps.so2_k, fd, vt)
+        return qt, kt, vt
 
     if impl == "fullwidth" and _fullwidth_ok(args):
         Tq, Tk = q.shape[2], k.shape[2]
@@ -312,6 +457,14 @@ def gta_untransform_out(
 ) -> jnp.ndarray:
     """Apply the inverse query rep to the attention output (v_transform only)."""
     fd = args.f_dims
+
+    if impl in ("auto", "blockdiag") and _blockdiag_ok(reps, args):
+        nq, _ = _view_counts(reps)
+        Mo = _blockdiag_mat(reps, args, trans_coeff, "out", out.dtype)
+        o = _apply_blockdiag(Mo, out, nq) if Mo is not None else out
+        if reps.so2_q is not None:
+            o = _apply_so2_fullwidth(reps.so2_q, fd, o, inverse=True)
+        return o
 
     if impl == "fullwidth" and _fullwidth_ok(args):
         Tq = out.shape[2]

@@ -241,3 +241,87 @@ class TestFullwidthPath:
         )
         # misaligned se3 start breaks the vec4 grouping
         assert not _fullwidth_ok(GTAArgs(f_dims=FDims(triv=2, se3=8), so2=2))
+
+
+class TestBlockdiagPath:
+    """The block-diagonal per-view matmul + full-width rotor form (the
+    'auto' default where applicable) must match the slice/einsum/concat
+    form exactly, values AND gradients, on every applicable group mix."""
+
+    MIXES = [
+        GTAArgs(f_dims=FDims(se3=32, so2=32), so2=8),            # flagship CLEVR
+        GTAArgs(f_dims=FDims(triv=4, se3=8, so2=8), so2=2),
+        GTAArgs(f_dims=FDims(so2=16), so2=4),                    # rotors only
+        GTAArgs(f_dims=FDims(se3=16)),                           # matrix only
+        GTAArgs(f_dims=FDims(se3=16, so2=8, so3=16), so2=2, so3=2),  # + Wigner
+        GTAArgs(f_dims=FDims(triv=4, se3=8, so2=8), so2=2, v_transform=False),
+    ]
+
+    @pytest.mark.parametrize("args", MIXES, ids=lambda a: repr(a.f_dims))
+    def test_matches_sliced(self, rng, args):
+        import jax
+
+        from gta_tpu.ops.gta import (
+            _blockdiag_ok,
+            gta_transform_qkv,
+            gta_untransform_out,
+        )
+
+        coord, transforms, rays = _geom(rng, args)
+        q, k, v = _qkv(rng, args.f_dims.total)
+        reps = encoder_reps(args, coord, transforms, rays)
+        assert _blockdiag_ok(reps, args)
+        tc = jnp.asarray(0.1)
+
+        got = gta_transform_qkv(q, k, v, reps, args, tc, impl="blockdiag")
+        want = gta_transform_qkv(q, k, v, reps, args, tc, impl="sliced")
+        for g, w, nm in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=2e-5, err_msg=nm
+            )
+
+        # gradients through the transform (incl. trans_coeff)
+        def loss(impl, q, k, v, tc):
+            qt, kt, vt = gta_transform_qkv(q, k, v, reps, args, tc, impl=impl)
+            return jnp.sum(qt**2) + jnp.sum(kt * vt)
+
+        g_bd = jax.grad(functools.partial(loss, "blockdiag"), (0, 1, 2, 3))(q, k, v, tc)
+        g_sl = jax.grad(functools.partial(loss, "sliced"), (0, 1, 2, 3))(q, k, v, tc)
+        for a, b in zip(g_sl, g_bd):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-4)
+
+        if args.v_transform:
+            o = jnp.asarray(rng.randn(B, H, T, args.f_dims.total).astype(np.float32))
+            go = gta_untransform_out(o, reps, args, tc, impl="blockdiag")
+            wo = gta_untransform_out(o, reps, args, tc, impl="sliced")
+            np.testing.assert_allclose(np.asarray(go), np.asarray(wo), atol=2e-5)
+
+    def test_not_applicable_mixes_fall_back(self, rng):
+        from gta_tpu.ops.gta import _blockdiag_ok
+
+        args = FULL_ARGS  # t2 present
+        coord, transforms, rays = _geom(rng, args)
+        reps = encoder_reps(args, coord, transforms, rays)
+        assert not _blockdiag_ok(reps, args)
+
+        # per-token SE(3) tables (ray_to_se3 decoder queries) cannot ride a
+        # per-view matrix
+        args2 = GTAArgs(f_dims=FDims(se3=8, so2=8), so2=2, ray_to_se3=True)
+        coord, transforms, rays = _geom(rng, args2)
+        NQ, TQ = 2, 6
+        t_coord = jnp.asarray(rng.rand(B, NQ, TQ, 2), jnp.float32)
+        t_transforms = jnp.asarray(np.stack([random_se3(rng, NQ) for _ in range(B)]))
+        t_rays = rng.randn(B, NQ, TQ, 3).astype(np.float32)
+        t_rays /= np.linalg.norm(t_rays, axis=-1, keepdims=True)
+        enc = encoder_reps(args2, coord, transforms, rays)
+        dec = decoder_reps(
+            args2,
+            target_coord=t_coord,
+            target_transforms=t_transforms,
+            target_rays=jnp.asarray(t_rays),
+            input_coord=coord,
+            input_transforms=transforms,
+            enc=enc,
+        )
+        if dec.se3_q is not None and dec.se3_q.ndim == 5:
+            assert not _blockdiag_ok(dec, args2)
