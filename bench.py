@@ -87,7 +87,13 @@ def main():
         state, metrics = trainer.train_step(state, batch_data, rng)
     float(metrics["loss"])
     step = (time.perf_counter() - t0) / iters
-    rays_per_sec = batch * cfg.data.num_points / step
+    from gta_tpu.data.sampling import points_per_view
+
+    # actual rays supervised per scene (per-view count is tile-aligned)
+    rays_per_scene = cfg.data.num_target_views * points_per_view(
+        cfg.data.num_points, cfg.data.num_target_views
+    )
+    rays_per_sec = batch * rays_per_scene / step
     print(
         json.dumps(
             {
@@ -100,7 +106,7 @@ def main():
     )
     print(
         f"# device={jax.devices()[0].device_kind} step={step*1e3:.1f}ms "
-        f"batch={batch} rays/step={batch * cfg.data.num_points}",
+        f"batch={batch} rays/step={batch * rays_per_scene}",
         file=sys.stderr,
     )
 

@@ -20,6 +20,7 @@ import numpy as np
 from gta_tpu.config import DataConfig
 from gta_tpu.geometry.coords import make_2dcoord, make_2dimgcoord
 from gta_tpu.geometry.rays import transform_points
+from gta_tpu.data.sampling import points_per_view
 
 
 def _imread(path: str) -> np.ndarray:
@@ -269,7 +270,7 @@ class CLEVRTR:
         base_coord = self.coord.reshape(-1, 2)
 
         if not self.full_scale:
-            ppv = cfg.num_points // cfg.num_target_views
+            ppv = points_per_view(cfg.num_points, cfg.num_target_views)
             n = self.h * self.w
             px, ms, rs, cp, co = [], [], [], [], []
             for i in range(cfg.num_target_views):

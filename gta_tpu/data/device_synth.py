@@ -27,6 +27,7 @@ import numpy as np
 from gta_tpu.config import DataConfig
 from gta_tpu.geometry.coords import make_2dcoord
 from gta_tpu.models.context import SceneBatch
+from gta_tpu.data.sampling import points_per_view
 
 MAX_SPHERES = 6
 
@@ -227,7 +228,7 @@ class DeviceSynthetic:
         base_pos = jnp.broadcast_to(pos_c[input_idx[0]], (HW, 3))
         tgt_imgs = imgs[target_idx].reshape(NT, HW, 3)
         if not self.full_scale:
-            ppv = cfg.num_points // NT
+            ppv = points_per_view(cfg.num_points, NT)
             sel = jax.vmap(
                 lambda k: jax.random.choice(k, HW, (ppv,), replace=HW < ppv)
             )(jax.random.split(ks[9], NT))  # [NT, ppv]

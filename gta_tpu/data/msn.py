@@ -21,6 +21,7 @@ import numpy as np
 from gta_tpu.config import DataConfig
 from gta_tpu.geometry.coords import make_2dcoord
 from gta_tpu.geometry.rays import transform_points
+from gta_tpu.data.sampling import points_per_view
 
 
 def _downsample(x: np.ndarray, num_steps: int) -> np.ndarray:
@@ -140,7 +141,7 @@ def prep_scene(
     base_coord = coord.reshape(-1, 2)
 
     if not full_scale:
-        ppv = cfg.num_points // cfg.num_target_views
+        ppv = points_per_view(cfg.num_points, cfg.num_target_views)
         px, rs, cp, co = [], [], [], []
         for i in range(cfg.num_target_views):
             sel = rng.choice(n, size=ppv, replace=n < ppv)

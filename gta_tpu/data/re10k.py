@@ -31,6 +31,7 @@ import numpy as np
 from gta_tpu.config import DataConfig
 from gta_tpu.geometry.coords import make_2dcoord
 from gta_tpu.geometry.rays import transform_points
+from gta_tpu.data.sampling import points_per_view
 
 
 def parse_camera_file(path: str):
@@ -238,7 +239,7 @@ class RealEstate10K:
         base_pos = np.broadcast_to(pos_c[0].astype(np.float32), (HW, 3))
         base_coord = self.coord.reshape(-1, 2)
         if not self.full_scale:
-            ppv = cfg.num_points // NT
+            ppv = points_per_view(cfg.num_points, NT)
             px, rs, cp, co = [], [], [], []
             for i in range(NT):
                 sel = rng.choice(HW, size=ppv, replace=HW < ppv)

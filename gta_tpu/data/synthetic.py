@@ -16,6 +16,7 @@ from gta_tpu.config import DataConfig
 from gta_tpu.geometry.coords import make_2dcoord
 from gta_tpu.geometry.rays import lookat_extrinsic, camera_rays_from_extrinsic, transform_points
 from gta_tpu.models.context import SceneBatch
+from gta_tpu.data.sampling import points_per_view
 
 
 def _render(camera_pos, rays, spheres):
@@ -180,7 +181,7 @@ class SyntheticScenes:
         tgt_pixels = imgs[target_idx].reshape(cfg.num_target_views, -1, 3)
 
         if not self.full_scale:
-            ppv = cfg.num_points // cfg.num_target_views
+            ppv = points_per_view(cfg.num_points, cfg.num_target_views)
             px, rs, cp, co = [], [], [], []
             for i in range(cfg.num_target_views):
                 sel = rng.choice(self.h * self.w, size=ppv, replace=self.h * self.w < ppv)
