@@ -60,6 +60,13 @@ def fused_gta_attention(
     as well (no current config comes close).
     """
     assert not args.euclid_sim and not args.elementwise_mul
+    from gta_tpu.ops.gta_fused import fused_gta_attention_v2, v2_supported
+
+    if v2_supported(reps, args, q.shape[2], k.shape[2]):
+        # fully-fused path: rep transforms inside the kernel (gta_fused.py)
+        return fused_gta_attention_v2(
+            q, k, v, reps, args, trans_coeff, scale, interpret
+        )
     qt, kt, vt = gta_transform_qkv(q, k, v, reps, args, trans_coeff)
     if k.shape[2] <= MAX_TK:
         out = flash_core(qt, kt, vt, float(scale), interpret)
