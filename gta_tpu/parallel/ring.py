@@ -84,6 +84,37 @@ def ring_attention(
     return (o / l).astype(q.dtype)
 
 
+def ring_rep_specs(reps: GeomReps, k_axis: str):
+    """shard_map in_specs pytree for a GeomReps with key-side tables sharded
+    over `k_axis` (the ring axis) and query-side tables replicated.
+
+    Per-view key tables (se3_k/so3_k, axis 1 = view) and per-token key
+    tables (so2_k/t2_k rotor tuples, axis 1 = token) shard over the ring;
+    everything query-side stays local to the device that owns the queries.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def spec_like(name, val):
+        if val is None:
+            return None
+        shard = name.endswith("_k")
+        if isinstance(val, tuple):
+            n = (
+                P(None, k_axis)
+                if name.startswith("so2")
+                else P(None, k_axis, None, None)
+            )
+            return tuple((n if shard else P()) for _ in val)
+        return P(*((None, k_axis) + (None,) * (val.ndim - 2))) if shard else P()
+
+    return GeomReps(
+        **{
+            f.name: spec_like(f.name, getattr(reps, f.name))
+            for f in reps.__dataclass_fields__.values()
+        }
+    )
+
+
 def ring_gta_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -16,8 +16,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from gta_tpu.config import FDims, GTAArgs
 from gta_tpu.ops.attention import dot_product_attention
 from gta_tpu.ops.gta import gta_attention
-from gta_tpu.ops.reps import GeomReps, decoder_reps, encoder_reps
-from gta_tpu.parallel.ring import ring_attention, ring_gta_attention
+from gta_tpu.ops.reps import decoder_reps, encoder_reps
+from gta_tpu.parallel.ring import ring_attention, ring_gta_attention, ring_rep_specs
 from tests.conftest import random_se3
 
 B, H, NV, TPV, C = 2, 2, 4, 6, 16
@@ -78,30 +78,6 @@ def test_ring_attention_self_sharded_queries(rng):
 FULL_ARGS = GTAArgs(f_dims=FDims(triv=2, se3=8, so3=8, so2=8, t2=6), so2=2, so3=2)
 
 
-def _rep_specs(reps: GeomReps, k_axis: str):
-    """Spec pytree for a GeomReps: key-side tables sharded (views for
-    per-view tables, tokens for per-token tables), query side replicated."""
-
-    def spec_like(name, val):
-        if val is None:
-            return None
-        shard = name.endswith("_k")
-        if isinstance(val, tuple):
-            n = P(None, k_axis) if name.startswith("so2") else P(None, k_axis, None, None)
-            return tuple((n if shard else P()) for _ in val)
-        ndim = val.ndim
-        return (
-            P(*((None, k_axis) + (None,) * (ndim - 2))) if shard else P()
-        )
-
-    return GeomReps(
-        **{
-            f.name: spec_like(f.name, getattr(reps, f.name))
-            for f in reps.__dataclass_fields__.values()
-        }
-    )
-
-
 def test_ring_gta_matches_oracle(rng):
     """Decoder-style cross attention: per-view reps ride with their KV shard;
     ring GTA equals the einsum oracle."""
@@ -144,7 +120,7 @@ def test_ring_gta_matches_oracle(rng):
                 q, k, v, reps, args, tc, scale, "ring"
             ),
             mesh=_mesh(),
-            in_specs=(P(), kv_spec, kv_spec, _rep_specs(dec, "ring"), P()),
+            in_specs=(P(), kv_spec, kv_spec, ring_rep_specs(dec, "ring"), P()),
             out_specs=P(),
             check_vma=False,
         )
