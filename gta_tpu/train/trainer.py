@@ -61,6 +61,11 @@ class Trainer:
         else:
             self.tx = optax.adamw(self.schedule, weight_decay=t.weight_decay)
         self.mesh = mesh
+        # Set by enable_zero1(): {params, opt_state} NamedSharding pytrees
+        # re-asserted inside the train step so the ZeRO-1 layout is pinned
+        # across iterations (otherwise GSPMD may propagate the moment
+        # shardings into the updated params and silently de-replicate them).
+        self._state_constraints = None
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         # jitted init: eager flax init dispatches thousands of ops (minutes
@@ -80,6 +85,26 @@ class Trainer:
         params = self._init(jax.random.PRNGKey(seed), batch)
         opt_state = self.tx.init(params)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+
+    def enable_zero1(self, state: TrainState, mesh, tp: bool = False) -> TrainState:
+        """ZeRO-1: shard the optimizer state over the data axis (params stay
+        replicated, or TP-sharded when tp=True). Returns the re-placed state;
+        must be called before the first train_step so the constraint closure
+        is captured at trace time. See parallel/zero.py."""
+        from gta_tpu.parallel.mesh import replicated
+        from gta_tpu.parallel.tp import param_shardings
+        from gta_tpu.parallel.zero import opt_state_shardings
+
+        if tp:
+            p_sh = param_shardings(state.params, mesh)
+        else:
+            p_sh = jax.tree.map(lambda _: replicated(mesh), state.params)
+        o_sh = opt_state_shardings(state.opt_state, mesh, tp=tp)
+        self._state_constraints = {"params": p_sh, "opt_state": o_sh}
+        return state.replace(
+            params=jax.tree.map(jax.device_put, state.params, p_sh),
+            opt_state=jax.tree.map(jax.device_put, state.opt_state, o_sh),
+        )
 
     def param_counts(self, state: TrainState) -> Dict[str, int]:
         def count(tree):
@@ -110,6 +135,17 @@ class Trainer:
         )
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if self._state_constraints is not None:
+            # ZeRO-1: moments stay data-sharded (devices update 1/N each —
+            # XLA reduce-scatters the grads into the update), params are
+            # re-asserted to their replicated/TP layout (XLA all-gathers the
+            # delta), matching the ZeRO-1 communication pattern.
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, self._state_constraints["opt_state"]
+            )
+            params = jax.lax.with_sharding_constraint(
+                params, self._state_constraints["params"]
+            )
         metrics = {
             "loss": loss,
             "mse": jnp.mean(mse),

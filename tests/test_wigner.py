@@ -148,3 +148,27 @@ def test_first_call_inside_jit(rng):
     b = np.asarray(f(R))  # second call reuses the now-populated cache
     np.testing.assert_allclose(a, b, atol=0)
     assert np.isfinite(a).all()
+
+
+def test_high_degree_axioms(rng):
+    """Degrees 5-8 (beyond any config's so3 setting) stay orthogonal and
+    homomorphic — SURVEY 7.3 asks for validation 'ideally up to 8'.
+
+    fp32 Jacobi-polynomial evaluation loses ~1 digit per degree, so the
+    tolerance is looser than the low-degree tests but still catches any
+    structural error (wrong table, basis mismatch, sign flip), which shows
+    up at O(1).
+    """
+    R1 = random_rotation(rng, 8)
+    R2 = random_rotation(rng, 8)
+    D1s = _ds(R1, 8)
+    D2s = _ds(R2, 8)
+    D12s = _ds(R1 @ R2, 8)
+    for l in range(5, 9):
+        D = np.asarray(D1s[l], dtype=np.float64)
+        n = 2 * l + 1
+        gram = D @ np.swapaxes(D, -1, -2)
+        np.testing.assert_allclose(gram, np.tile(np.eye(n)[None], (8, 1, 1)), atol=3e-3)
+        lhs = np.asarray(D12s[l], dtype=np.float64)
+        rhs = D @ np.asarray(D2s[l], dtype=np.float64)
+        np.testing.assert_allclose(lhs, rhs, atol=5e-3)

@@ -63,6 +63,14 @@ def main():
         ),
     )
     parser.add_argument(
+        "--zero",
+        action="store_true",
+        help=(
+            "ZeRO-1: shard optimizer state over the data axis (params stay "
+            "replicated / TP-sharded); composes with --n-model"
+        ),
+    )
+    parser.add_argument(
         "--profile",
         type=int,
         default=0,
@@ -236,7 +244,11 @@ def main():
     metric_val_best = scalars.get("loss_val_best", -sel_sign * np.inf)
     run_id = scalars.get("run_id") or None
 
-    if args.n_model > 1:
+    if args.zero:
+        # ZeRO-1: optimizer moments shard over `data` (parallel/zero.py);
+        # params stay replicated or, with --n-model, TP-sharded.
+        state = trainer.enable_zero1(state, mesh, tp=args.n_model > 1)
+    elif args.n_model > 1:
         # TP: attention-head/FFN kernels shard over `model`; the opt state's
         # mu/nu subtrees carry params-shaped leaf paths, so the same
         # path-based rules apply (parallel/tp.py).
