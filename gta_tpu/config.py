@@ -124,6 +124,11 @@ class AttnConfig:
     # GTA through ops/gta_pallas.fused_gta_attention (XLA rep transforms +
     # Pallas flash core with fused backward) — the TPU default ('auto')
     fused: bool = False
+    # sequence-parallel ring attention over the `seq` mesh axis
+    # (parallel/ring.py): encoder tokens view-sharded, decoder keys ringed.
+    # Set by the runtime when --n-seq > 1; requires an ambient mesh
+    # (jax.set_mesh) with a SEQ_AXIS of that size.
+    ring: bool = False
 
     @property
     def is_gta(self) -> bool:
@@ -257,6 +262,25 @@ def with_flash_attention(cfg: "Config", fused: bool = False) -> "Config":
             return dataclasses.replace(
                 mod_cfg, attn=dataclasses.replace(attn, flash=True, fused=fused)
             )
+        return mod_cfg
+
+    model = dataclasses.replace(
+        cfg.model, encoder=upd(cfg.model.encoder), decoder=upd(cfg.model.decoder)
+    )
+    return dataclasses.replace(cfg, model=model)
+
+
+def with_ring_attention(cfg: "Config") -> "Config":
+    """Route GTA attention through the sequence-parallel ring
+    (parallel/ring.ring_gta_attention) in both encoder and decoder.
+
+    Only the production GTA variant rings (euclid/elementwise ablations
+    keep the oracle — parallel/ring.py's documented scope)."""
+
+    def upd(mod_cfg):
+        attn = mod_cfg.attn
+        if attn.is_gta and not attn.gta.euclid_sim and not attn.gta.elementwise_mul:
+            return dataclasses.replace(mod_cfg, attn=dataclasses.replace(attn, ring=True))
         return mod_cfg
 
     model = dataclasses.replace(

@@ -19,15 +19,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
-def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None) -> Mesh:
-    """1-D or 2-D (data, model) mesh over the available devices."""
+def make_mesh(
+    n_data: Optional[int] = None, n_model: int = 1, devices=None, n_seq: int = 1
+) -> Mesh:
+    """(data, seq, model) mesh over the available devices.
+
+    Size-1 axes are kept so PartitionSpecs can always name them; `seq` is
+    the sequence-parallel ring axis (parallel/ring.py), placed between
+    data and model so ring ppermutes ride neighbouring ICI links within a
+    data replica."""
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_model
-    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+        n_data = len(devices) // (n_model * n_seq)
+    devs = np.asarray(devices[: n_data * n_seq * n_model]).reshape(
+        n_data, n_seq, n_model
+    )
+    return Mesh(devs, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -40,9 +50,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put every leaf with its batch axis sharded over `data`."""
+    """Place every leaf with its batch axis sharded over `data`.
+
+    Single-host: a plain device_put. Multi-host: each process holds only
+    its LOCAL batch shard (the loader shards by process_index, reference
+    multishapenet.py:110-138), so the global array is assembled from
+    process-local data — device_put would wrongly treat the local shard as
+    the global value."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def local_data(x) -> np.ndarray:
+    """This process's rows of a (possibly globally sharded) array,
+    concatenated over the leading axis in shard order. Works for numpy
+    inputs and fully-replicated arrays too."""
+    if not hasattr(x, "addressable_shards"):
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards, key=lambda s: (s.index[0].start or 0))
+    rows = []
+    seen = set()
+    for s in shards:
+        key = (s.index[0].start or 0, s.index[0].stop)
+        if key in seen:  # replicated over a non-data axis: one copy is enough
+            continue
+        seen.add(key)
+        rows.append(np.asarray(s.data))
+    return np.concatenate(rows, 0)
 
 
 def replicate(tree, mesh: Mesh):

@@ -115,6 +115,91 @@ def ring_rep_specs(reps: GeomReps, k_axis: str):
     )
 
 
+def _full_rep_specs(reps: GeomReps, data: str, seq: str, shard_q: bool):
+    """PartitionSpec pytree for GeomReps inside the in-model shard_map:
+    batch axis over `data`, key-side view/token axes over `seq`, query-side
+    likewise when `shard_q` (encoder self-attention) else replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    def spec_like(name, val):
+        if val is None:
+            return None
+        axis1 = seq if (name.endswith("_k") or (shard_q and not name.startswith("flat"))) else None
+        if isinstance(val, tuple):
+            if name.startswith("so2"):
+                return tuple(P(data, axis1) for _ in val)
+            return tuple(P(data, axis1, None, None) for _ in val)
+        return P(*((data, axis1) + (None,) * (val.ndim - 2)))
+
+    return GeomReps(
+        **{
+            f.name: spec_like(f.name, getattr(reps, f.name))
+            for f in reps.__dataclass_fields__.values()
+        }
+    )
+
+
+def ring_gta_sharded(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    reps: GeomReps,
+    args: GTAArgs,
+    trans_coeff: Optional[jnp.ndarray],
+    scale: float,
+    self_att: bool,
+):
+    """Training-path entry: GTA ring attention under the ambient mesh.
+
+    Called from models/layers.Attention._gta when cfg.ring is set (the
+    runtime enables it via config.with_ring_attention + `train.py
+    --n-seq`). Requires `jax.set_mesh(mesh)` with a SEQ_AXIS of size > 1;
+    silently falls back to the dense oracle otherwise so eval paths and
+    CPU tests run unchanged.
+
+    Layouts (B batch, H heads, T tokens):
+      encoder self-attention: q AND kv token(view)-sharded over seq — true
+        sequence parallelism, each device owns its views' output rows.
+      decoder cross-attention: q (rays) replicated over seq, input-view KV
+        ringed; output replicated over seq.
+    Heads ride the `model` axis so the ring composes with TP.
+    Differentiable: jax.shard_map grads flow through scan + ppermute
+    (gradient parity vs the oracle in tests/test_ring.py).
+    """
+    import jax.sharding as jsh
+
+    from gta_tpu.ops.gta import gta_attention  # fallback oracle
+    from gta_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
+
+    mesh = jsh.get_abstract_mesh()
+    if SEQ_AXIS not in getattr(mesh, "axis_names", ()) or mesh.shape[SEQ_AXIS] == 1:
+        import functools
+
+        from gta_tpu.ops.attention import dot_product_attention
+
+        attn_fn = functools.partial(dot_product_attention, scale=scale)
+        out, _ = gta_attention(q, k, v, attn_fn, reps, args, trans_coeff)
+        return out
+
+    from jax.sharding import PartitionSpec as P
+
+    q_spec = P(DATA_AXIS, MODEL_AXIS, SEQ_AXIS if self_att else None, None)
+    kv_spec = P(DATA_AXIS, MODEL_AXIS, SEQ_AXIS, None)
+    rep_specs = _full_rep_specs(reps, DATA_AXIS, SEQ_AXIS, shard_q=self_att)
+    tc_spec = None if trans_coeff is None else P()
+
+    fn = jax.shard_map(
+        lambda q, k, v, reps, tc: ring_gta_attention(
+            q, k, v, reps, args, tc, scale, SEQ_AXIS
+        ),
+        mesh=mesh,
+        in_specs=(q_spec, kv_spec, kv_spec, rep_specs, tc_spec),
+        out_specs=q_spec,
+        check_vma=False,
+    )
+    return fn(q, k, v, reps, trans_coeff)
+
+
 def ring_gta_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

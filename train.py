@@ -63,6 +63,17 @@ def main():
         ),
     )
     parser.add_argument(
+        "--n-seq",
+        type=int,
+        default=1,
+        help=(
+            "sequence-parallel mesh width: ring GTA attention over a `seq` "
+            "axis of this size — encoder tokens view-sharded, decoder "
+            "input-view KV ring-passed over ICI (devices = n_data x n_seq "
+            "x n_model; input view count must divide by n_seq)"
+        ),
+    )
+    parser.add_argument(
         "--zero",
         action="store_true",
         help=(
@@ -212,7 +223,16 @@ def main():
     vis_n = min(6, host_batch) or 1
     data_vis = None
 
-    mesh = make_mesh(n_model=args.n_model)
+    mesh = make_mesh(n_model=args.n_model, n_seq=args.n_seq)
+    if args.n_seq > 1 or args.n_model > 1:
+        # make the mesh ambient: the in-model shard_maps (sequence-parallel
+        # ring, parallel/ring.py; head-sharded fused kernel under TP,
+        # parallel/tp.py) read the `seq`/`model` axes from any jit.
+        jax.set_mesh(mesh)
+    if args.n_seq > 1:
+        from gta_tpu.config import with_ring_attention
+
+        cfg = with_ring_attention(cfg)
     trainer = Trainer(cfg, mesh=mesh)
     ckpt = Checkpointer(out_dir)
 
