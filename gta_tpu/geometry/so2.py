@@ -34,13 +34,17 @@ def so2_angles(
     Args:
         coord: [..., D] coordinates (D = 2 for image coords).
     Returns:
-        theta: [..., D*nfreqs], dim-major ordering (rotor c = d*nfreqs + j),
-        matching the reference's stack(mats, -3).flatten(-4, -3) layout.
+        theta: [..., nfreqs*D], FREQUENCY-major ordering (rotor c = f*D + d).
+        This is the reference's exact channel interleave: make_SO2mats
+        stacks per-dim matrices at axis -3 giving [..., F, D, 2, 2]
+        (gta.py:66-68), and pre_compute_reps flattens (F, D) together
+        (encoder.py:196 flatten(-4, -3)) — verified by weight-transplant
+        parity against the reference (tests/test_reference_parity.py).
     """
     dim = coord.shape[-1]
     freqs = _freq_ladder(nfreqs, shared_freqs, coord.dtype)  # [F]
     mf = jnp.asarray(max_freqs, dtype=coord.dtype)[:dim]  # [D]
-    theta = 2.0 * jnp.pi * (mf[:, None] * coord[..., :, None]) * freqs  # [..., D, F]
+    theta = 2.0 * jnp.pi * (mf * coord)[..., None, :] * freqs[:, None]  # [..., F, D]
     return theta.reshape(*coord.shape[:-1], dim * nfreqs)
 
 

@@ -13,15 +13,20 @@ import jax.numpy as jnp
 def make_t2_mats(coord: jnp.ndarray) -> jnp.ndarray:
     """[..., 2] coords -> [..., 3, 3] homogeneous translation matrices.
 
-    [[1, 0, cx], [0, 1, cy], [0, 0, 1]].
+    [[1, 0, 0], [0, 1, 0], [cx, cy, 1]] — translation in the BOTTOM ROW,
+    matching the reference's construction exactly (gta.py:72-89 builds
+    cat([cat([I2, coord_row], -2), (0,0,1)^T], -1)): the third channel of
+    each feature triple is the accumulator slot, the first two pass
+    through. Verified by weight-transplant parity vs the reference
+    (tests/test_reference_parity.py, gta_t2 config).
     """
     shape = coord.shape[:-1]
     eye = jnp.broadcast_to(jnp.eye(2, dtype=coord.dtype), (*shape, 2, 2))
-    top = jnp.concatenate([eye, coord[..., :, None]], -1)  # [..., 2, 3]
-    bottom = jnp.broadcast_to(
-        jnp.asarray([0.0, 0.0, 1.0], dtype=coord.dtype), (*shape, 1, 3)
+    left = jnp.concatenate([eye, coord[..., None, :]], -2)  # [..., 3, 2]
+    right = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], dtype=coord.dtype)[:, None], (*shape, 3, 1)
     )
-    return jnp.concatenate([top, bottom], -2)
+    return jnp.concatenate([left, right], -1)
 
 
 def make_t2_mats_inv(coord: jnp.ndarray) -> jnp.ndarray:

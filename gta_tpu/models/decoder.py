@@ -142,7 +142,12 @@ class RayPredictor(nn.Module):
         )(queries, z, ctx, deterministic)
 
 
-_ACTS = {"relu": nn.relu, "lrelu": nn.leaky_relu, "gelu": nn.gelu}
+_ACTS = {
+    "relu": nn.relu,
+    "lrelu": nn.leaky_relu,
+    # exact erf GELU to match torch nn.GELU() (reference decoder.py:185-196)
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+}
 
 
 class SRTDecoder(nn.Module):

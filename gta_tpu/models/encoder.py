@@ -82,10 +82,15 @@ def build_encoder_context(
         )
         ctx = ctx.replace(geom=geom)
     elif attn.method in ("ape", "mln"):
-        # fixed-grid 2D PE over post-stem patches (encoder.py:309-313)
+        # fixed-grid 2D PE over post-stem patches (encoder.py:309-313).
+        # NOTE the reference reshapes the [C, H, W] tensor STRAIGHT to
+        # [-1, C] without transposing — a channel-major scramble of the
+        # token/channel assignment. The published models trained with that
+        # table, so we reproduce it bit-for-bit (weight-transplant parity,
+        # tests/test_reference_parity.py) rather than "fix" it.
         H, W = batch.input_images.shape[2:4]
         s = 2**cfg.num_conv_blocks
-        pe = np.transpose(posenc_2d_grid(180, H // s, W // s), (1, 2, 0)).reshape(-1, 180)
+        pe = posenc_2d_grid(180, H // s, W // s).reshape(-1, 180)
         B, N = batch.input_images.shape[:2]
         emb = jnp.broadcast_to(jnp.asarray(pe)[None, None], (B, N, pe.shape[0], 180))
         ctx = ctx.replace(input_coord_emb=emb)

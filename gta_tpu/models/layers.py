@@ -48,7 +48,9 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, **vit_linear_init)(x)
-        x = nn.gelu(x)
+        # exact erf GELU: the reference uses torch nn.GELU() (layers.py:161),
+        # and the tanh approximation differs by ~1e-3 near |x|~2
+        x = nn.gelu(x, approximate=False)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, dtype=self.dtype, **vit_linear_init)(x)
@@ -176,12 +178,25 @@ class Attention(nn.Module):
             trans_coeff = self.param(
                 "trans_coeff", nn.initializers.constant(0.01), (1,)
             ).astype(self.dtype)
+        if cfg.ring and isinstance(tau, (int, float)):
+            # sequence-parallel ring over the `seq` mesh axis: encoder
+            # tokens view-sharded, decoder input-view KV ringed
+            # (parallel/ring.py; enabled by train.py --n-seq)
+            from gta_tpu.parallel.ring import ring_gta_sharded
+
+            out = ring_gta_sharded(
+                q, k, v, ctx.geom, args, trans_coeff,
+                float(scale) / float(tau), self_att=self.selfatt,
+            )
+            return out, None
         if cfg.fused and not args.euclid_sim and isinstance(tau, (int, float)):
             # single fused Pallas kernel: rep-transform + blockwise attention
-            # + inverse rep (ops/gta_pallas.py)
-            from gta_tpu.ops.gta_pallas import fused_gta_attention
+            # + inverse rep (ops/gta_pallas.py); under TP the heads shard
+            # over the model axis via shard_map (parallel/tp.py — GSPMD
+            # cannot partition a pallas custom call by itself)
+            from gta_tpu.parallel.tp import fused_gta_attention_tp
 
-            out = fused_gta_attention(
+            out = fused_gta_attention_tp(
                 q, k, v, ctx.geom, args, trans_coeff, float(scale) / float(tau)
             )
             return out, None
@@ -241,15 +256,19 @@ class Attention(nn.Module):
 
         E = ctx.input_coord_emb.shape[-1] + 16
 
-        def emb_of(coord_emb, transforms):
+        def emb_of(coord_emb, transforms, invert):
+            # the reference inverts the camera matrices ONLY on the
+            # cross-attention path (layers.py:372-374); self-attention uses
+            # them as-is (layers.py:382-383)
             B, N, T, _ = coord_emb.shape
-            C = se3_inverse(transforms).reshape(B, N, 1, 16)
+            mats = se3_inverse(transforms) if invert else transforms
+            C = mats.reshape(B, N, 1, 16)
             C = jnp.broadcast_to(C, (B, N, T, 16))
             return jnp.concatenate([C, coord_emb], -1).reshape(B, N * T, E)
 
         if z is not None:
-            q_emb = emb_of(ctx.target_coord_emb, ctx.target_transforms).astype(self.dtype)
-            k_emb = emb_of(ctx.input_coord_emb, ctx.input_transforms).astype(self.dtype)
+            q_emb = emb_of(ctx.target_coord_emb, ctx.target_transforms, True).astype(self.dtype)
+            k_emb = emb_of(ctx.input_coord_emb, ctx.input_transforms, True).astype(self.dtype)
             x = (
                 nn.Dense(self.dim, dtype=self.dtype, name="linear_q_g")(q_emb) * x
                 + nn.Dense(self.dim, dtype=self.dtype, name="linear_q_b")(q_emb)
@@ -259,7 +278,7 @@ class Attention(nn.Module):
                 + nn.Dense(self.kv_dim, dtype=self.dtype, name="linear_k_b")(k_emb)
             )
         else:
-            emb = emb_of(ctx.input_coord_emb, ctx.input_transforms).astype(self.dtype)
+            emb = emb_of(ctx.input_coord_emb, ctx.input_transforms, False).astype(self.dtype)
             x = (
                 nn.Dense(self.dim, dtype=self.dtype, name="linear_g")(emb) * x
                 + nn.Dense(self.dim, dtype=self.dtype, name="linear_b")(emb)
@@ -343,7 +362,7 @@ class Transformer(nn.Module):
         attmap = None
         for i in range(self.depth):
             last = i == self.depth - 1
-            h = nn.LayerNorm(dtype=self.dtype, name=f"norm_attn_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_attn_{i}")(x)
             block = Attention(
                 dim=self.dim,
                 heads=self.heads,
@@ -359,7 +378,7 @@ class Transformer(nn.Module):
             else:
                 out = block(h, z=z, ctx=ctx, deterministic=deterministic)
             x = x + out
-            h = nn.LayerNorm(dtype=self.dtype, name=f"norm_ff_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_ff_{i}")(x)
             x = x + FeedForward(
                 self.dim, self.mlp_dim, self.dropout, dtype=self.dtype, name=f"ff_{i}"
             )(h, deterministic=deterministic)

@@ -28,12 +28,14 @@ class TestSO2:
         np.testing.assert_allclose(m12, m1 @ m2, atol=1e-4)
 
     def test_freq_ladder_matches_reference_convention(self):
-        """freqs[j] = 2^(j+1)/2^n — ascending, NOT the standard RoPE ladder."""
+        """freqs[j] = 2^(j+1)/2^n — ascending, NOT the standard RoPE ladder;
+        channel order is frequency-major interleaved over coord dims
+        (reference gta.py:66-68 + encoder.py:196 flatten(-4,-3))."""
         coord = jnp.asarray([[1.0, 0.0]])
         th = np.asarray(so2_angles(coord, 3, (1.0, 1.0)))
         expect = 2 * np.pi * np.array([2.0 / 8, 4.0 / 8, 8.0 / 8])
-        np.testing.assert_allclose(th[0, :3], expect, atol=1e-6)
-        np.testing.assert_allclose(th[0, 3:], 0.0, atol=1e-6)
+        np.testing.assert_allclose(th[0, 0::2], expect, atol=1e-6)
+        np.testing.assert_allclose(th[0, 1::2], 0.0, atol=1e-6)
 
     def test_rotor_matches_matrix(self, rng):
         coord = jnp.asarray(rng.rand(2, 5, 2), jnp.float32)
