@@ -182,20 +182,29 @@ class Trainer:
         Scene coverage is reported like reference trainer.py:55-58: unique
         sceneids counted over the all-gathered id set.
         """
+        from gta_tpu.parallel.mesh import local_data
+
         acc: Dict[str, list] = {}
         sceneids: list = []
         for batch in batches:
+            if batch.sceneid is not None:
+                # capture BEFORE sharding: after shard_batch the ids are a
+                # global array whose remote shards this host cannot fetch
+                sceneids.append(np.asarray(batch.sceneid).reshape(-1))
             if mesh is not None:
                 from gta_tpu.parallel.mesh import shard_batch
 
                 n_data = mesh.shape.get("data", 1)
-                if batch.input_images.shape[0] % n_data == 0:
+                local_b = batch.input_images.shape[0]
+                n_local = max(1, n_data // jax.process_count())
+                if local_b % n_local == 0:
                     batch = shard_batch(batch, mesh)
-            if batch.sceneid is not None:
-                sceneids.append(np.asarray(batch.sceneid).reshape(-1))
             out = self.eval_step(params, batch)
             for k, v in out.items():
-                acc.setdefault(k, []).append(np.asarray(v))
+                # fetch only this host's rows (global arrays are not
+                # addressable across processes); the cross-host mean happens
+                # in the allgather reduction below
+                acc.setdefault(k, []).append(local_data(v))
         local = {k: float(np.mean(np.concatenate(v))) for k, v in acc.items()}
         if sceneids:
             ids = np.concatenate(sceneids)
