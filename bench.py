@@ -1,20 +1,27 @@
-"""Benchmark: flagship GTA training-step throughput in target rays/second.
+"""Benchmark: GTA training-step throughput in target rays/second.
 
-Runs the full-size CLEVR-TR GTA model (runs/clevrtr/GTA/gta/config.yaml:
-attdim 384, 6 heads, 5+2 attention blocks, f_dims {se3:32, so2:32}) on
-synthetic scenes at CLEVR-TR shapes (2 input views of 120x160, 2560 target
-rays, global batch 32) and times the fused jit train step on the local
-accelerator — the protocol analogue of the reference's --speed_test harness
-(reference train.py:66,350-368), reported as rays/s instead of ms/iter.
+Default (the driver's headline): the full-size CLEVR-TR GTA model
+(runs/clevrtr/GTA/gta/config.yaml: attdim 384, 6 heads, 5+2 attention
+blocks, f_dims {se3:32, so2:32}) on synthetic scenes at CLEVR-TR shapes
+(2 input views of 120x160, 2560 target rays, global batch 32), fused jit
+train step on the local accelerator — the protocol analogue of the
+reference's --speed_test harness (reference train.py:66,350-368), reported
+as rays/s instead of ms/iter.
+
+--config selects other model families at their training shapes:
+  clevrtr  fp32 batch 32, 2x120x160 inputs, 2560 rays   (headline)
+  msn_so3  bf16 batch 64, 5x128x128 inputs, 2560 rays, Wigner-D so3:2
+  re10k    bf16 batch 32, 2x120x160 inputs, 2048 rays
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
 
 vs_baseline divides by an *estimated* PyTorch A100 reference throughput:
 the reference repo publishes no speed numbers (BASELINE.md), so we anchor
-on ~10 train iters/s for per-GPU batch 8 x 2560 rays = ~205k rays/s —
-an optimistic A100 estimate; the >=3x target from BASELINE.md corresponds
-to vs_baseline >= 3.
+on ~10 train iters/s for per-GPU batch 8 x 2560 rays = ~205k rays/s — an
+optimistic A100 estimate; the >=3x target from BASELINE.md corresponds to
+vs_baseline >= 3. The anchor was estimated for CLEVR shapes, so the other
+configs report vs_baseline: null rather than inherit its error bars.
 """
 
 import argparse
@@ -36,14 +43,40 @@ from gta_tpu.data.synthetic import SyntheticScenes, collate
 from gta_tpu.train.trainer import Trainer
 
 ESTIMATED_A100_RAYS_PER_SEC = 205_000.0
-BATCH = 32
 WARMUP = 3
 ITERS = 20
+
+# config key -> (yaml, synthetic data overrides, default batch, metric name,
+#                has_baseline_anchor)
+BENCH_CONFIGS = {
+    "clevrtr": (
+        "runs/clevrtr/GTA/gta/config.yaml",
+        dict(height=120, width=160, downsample=0),
+        32,
+        "gta_clevrtr_train_rays_per_sec",
+        True,
+    ),
+    "msn_so3": (
+        "runs/msn/GTA/gta_so3/config.yaml",
+        dict(height=128, width=128, downsample=0),
+        64,
+        "gta_msn_so3_train_rays_per_sec",
+        False,
+    ),
+    "re10k": (
+        "runs/re10k/GTA/gta/config.yaml",
+        dict(height=120, width=160, downsample=0),
+        32,
+        "gta_re10k_train_rays_per_sec",
+        False,
+    ),
+}
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--config", default="clevrtr", choices=sorted(BENCH_CONFIGS))
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=ITERS)
     ap.add_argument(
         "--bf16", action="store_true",
@@ -54,12 +87,11 @@ def main():
         help="override the attention path (default: config 'auto' = fused on TPU)",
     )
     args = ap.parse_args()
-    batch, iters = args.batch, args.iters
+    yaml_path, overrides, default_batch, metric, anchored = BENCH_CONFIGS[args.config]
+    batch, iters = args.batch or default_batch, args.iters
 
-    cfg = load_config("/root/repo/runs/clevrtr/GTA/gta/config.yaml")
-    data = dataclasses.replace(
-        cfg.data, dataset="synthetic", height=120, width=160, downsample=0
-    )
+    cfg = load_config(f"/root/repo/{yaml_path}")
+    data = dataclasses.replace(cfg.data, dataset="synthetic", **overrides)
     training = dataclasses.replace(
         cfg.training, batch_size=batch, mixed_prec=args.bf16 or cfg.training.mixed_prec
     )
@@ -97,16 +129,21 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "gta_clevrtr_train_rays_per_sec",
+                "metric": metric,
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / ESTIMATED_A100_RAYS_PER_SEC, 3),
+                "vs_baseline": (
+                    round(rays_per_sec / ESTIMATED_A100_RAYS_PER_SEC, 3)
+                    if anchored
+                    else None
+                ),
             }
         )
     )
     print(
         f"# device={jax.devices()[0].device_kind} step={step*1e3:.1f}ms "
-        f"batch={batch} rays/step={batch * rays_per_scene}",
+        f"batch={batch} rays/step={batch * rays_per_scene} "
+        f"mixed_prec={cfg.training.mixed_prec}",
         file=sys.stderr,
     )
 
