@@ -136,6 +136,24 @@ def _repair_reference(ref_encoder, ref_decoder, ref_layers, ref_gta):
         )
         ref_decoder.ImprovedSRTDecoder._nqtq_patched = True
 
+    # 3. FTL reads an undefined `self.trans_coeff` (models_nvs.py:66) — every
+    #    ftl=True forward crashes. Register the obviously-intended parameter
+    #    (same 0.01 init as the attention-level trans_coeff, layers.py:191).
+    import source.models_nvs as ref_models
+    import torch
+    from torch import nn as torch_nn
+
+    if not getattr(ref_models.TransformingSRT, "_ftl_patched", False):
+        orig_init = ref_models.TransformingSRT.__init__
+
+        def ftl_init(self, cfg):
+            orig_init(self, cfg)
+            if self.ftl:
+                self.trans_coeff = torch_nn.Parameter(torch.tensor([0.01]))
+
+        ref_models.TransformingSRT.__init__ = ftl_init
+        ref_models.TransformingSRT._ftl_patched = True
+
     orig_vecrep = ref_gta.multihead_vecrep_attention
 
     def vecrep_adapter(q, k, v, attn_fn, f_dims=None, reps=None, **kwargs):
@@ -196,6 +214,15 @@ def _translate_tokens(tokens):
             j = int(tokens[i + 1])
             leaf = "kernel" if tokens[i + 2] == "weight" else "bias"
             return tuple(out + [f"input_mlp{j // 2}", leaf])
+        if t == "frustum_phi":  # Sequential(Linear, ReLU, Linear) (encoder.py:117)
+            j = int(tokens[i + 1])
+            leaf = "kernel" if tokens[i + 2] == "weight" else "bias"
+            return tuple(out + [f"frustum_phi{j // 2}", leaf])
+        if t == "trans_coeff" and i == 0:
+            # FTL latent-transform coefficient: the reference reads an
+            # UNDEFINED self.trans_coeff (models_nvs.py:66) — _repair_reference
+            # registers one; ours is the model-level ftl_trans_coeff param.
+            return ("ftl_trans_coeff",)
         if t == "render_mlp":
             j = int(tokens[i + 1])
             name = f"render_mlp{j // 2}" if j // 2 < 4 else "render_mlp_out"

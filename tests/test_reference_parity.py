@@ -73,8 +73,13 @@ CONFIGS = [
     ("runs/clevrtr/otherPEs/rpe", 1e-4),
     ("runs/clevrtr/otherPEs/repast", 1e-4),
     ("runs/clevrtr/otherPEs/elementwise_mul", 1e-4),
+    ("runs/clevrtr/otherPEs/frustum_posemb_dmax20", 1e-4),
+    ("runs/clevrtr/otherPEs/ftl_rope", 1e-4),
     ("runs/msn/GTA/gta", 2e-4),
     ("runs/msn/GTA/gta_so3", 2e-4),
+    ("runs/msn/GTA/gta_so3_euclid", 2e-4),
+    ("runs/msn/otherPEs/srt", 1e-4),
+    ("runs/msn/otherPEs/repast", 1e-4),
 ]
 
 
@@ -195,3 +200,58 @@ def test_forward_parity(run, tol, ref):
     loss_mine = ((pred - tgt) ** 2).mean()
     loss_ref = ((ref_pred - tgt) ** 2).mean()
     assert abs(loss_mine - loss_ref) <= tol
+
+
+GRAD_CONFIGS = [
+    "runs/clevrtr/GTA/gta",
+    "runs/clevrtr/GTA/gta_so3",
+    "runs/clevrtr/otherPEs/mln",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("run", GRAD_CONFIGS, ids=[c.split("runs/")[1] for c in GRAD_CONFIGS])
+def test_gradient_parity(run, ref):
+    """Backward-pass equivalence: d(MSE)/d(params) matches the reference
+    per-parameter after the same weight-space transforms (transpose, conv
+    permute, so3 basis signs — gradients live in the same basis as the
+    weights). One step of SGD from transplanted init therefore yields the
+    same model in both frameworks."""
+    torch = ref["torch"]
+    cfg, model, params, batch_np, batch, ref_model = _build_pair(run, ref)
+    sign_map = _so3_sign_map(cfg, params)
+    params = transplant(ref_model.state_dict(), params, so3_sign=sign_map)
+
+    tgt = np.asarray(batch_np.target_pixels, dtype=np.float32)
+    tgt_flat = tgt.reshape(tgt.shape[0], -1, 3)
+
+    def loss_fn(p):
+        pred, _ = model.apply(p, batch, True)
+        return jnp.mean((pred.astype(jnp.float32) - jnp.asarray(tgt_flat)) ** 2)
+
+    g_mine = jax.grad(loss_fn)(params)
+
+    fargs, extras = batch_to_ref_inputs(batch_np)
+    ref_model.zero_grad()
+    pred, _ = ref_model(*fargs, extras=extras)
+    loss = ((pred.reshape(tgt_flat.shape) - torch.from_numpy(tgt_flat)) ** 2).mean()
+    loss.backward()
+
+    grads = {
+        k: p.grad for k, p in ref_model.named_parameters() if p.grad is not None
+    }
+    g_ref = transplant(grads, params, so3_sign=sign_map)
+
+    flat_mine = jax.tree_util.tree_flatten_with_path(g_mine)[0]
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(g_ref)[0])
+    checked = 0
+    for path, gm in flat_mine:
+        gr = np.asarray(flat_ref[path])
+        gm = np.asarray(gm)
+        scale = max(np.abs(gr).max(), 1e-8)
+        np.testing.assert_allclose(
+            gm, gr, atol=max(2e-6, 2e-4 * scale), rtol=2e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+        checked += 1
+    assert checked > 20
