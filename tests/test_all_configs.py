@@ -32,6 +32,7 @@ def _short(path):
     return "/".join(parts[-4:-1])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("path", CONFIGS, ids=_short)
 def test_config_trains_synthetic(path):
     cfg = load_config(path)
