@@ -21,7 +21,7 @@ Three jobs:
 so3 configs: the two frameworks use real-SH bases differing by the fixed
 sign matrix S_l = diag(-1 for m<0) (see gen_jdense_for_reference.py), so
 so3 feature channels transplant with an S-conjugation: qkv/out rows and
-columns for m<0 channels flip sign. `so3_sign_vector` builds the pattern.
+columns for m<0 channels flip sign. `so3_sign_map` builds the per-layer transform map.
 """
 
 from __future__ import annotations
@@ -163,180 +163,17 @@ def _repair_reference(ref_encoder, ref_decoder, ref_layers, ref_gta):
 
 
 # ---------------------------------------------------------------------------
-# torch state_dict -> flax params
+# torch state_dict -> flax params: canonical implementation lives in the
+# package (gta_tpu/utils/ref_import.py — it is the user-facing checkpoint
+# importer); re-exported here for the parity tests.
 
-
-def _translate_tokens(tokens):
-    """Map one torch parameter path (list of '.'-split tokens) to the flax
-    param path (tuple of str). Returns None for buffers to ignore."""
-    out = []
-    i = 0
-    while i < len(tokens):
-        t = tokens[i]
-        if t == "conv_blocks":
-            blk = tokens[i + 1]
-            layer = int(tokens[i + 2 + 1])  # 'layers', j
-            assert tokens[i + 2] == "layers" and tokens[i + 4] == "weight"
-            return tuple(out + [f"conv{blk}", f"Conv_{layer // 2}", "kernel"])
-        if t == "layers" and i + 2 < len(tokens) and tokens[i + 2] in ("0", "1"):
-            idx, which = tokens[i + 1], tokens[i + 2]
-            rest = tokens[i + 3 :]
-            if which == "0":  # PreNorm(attention)
-                if rest[0] == "norm":
-                    return tuple(
-                        out
-                        + [f"norm_attn_{idx}", "scale" if rest[1] == "weight" else "bias"]
-                    )
-                assert rest[0] == "fn"
-                sub = rest[1:]
-                if sub == ["attend", "tau"]:
-                    # TemperatureAdjsutableSoftmax tau (layers.py:135-143)
-                    return tuple(out + [f"attn_{idx}", "tau"])
-                if sub[0] == "to_out":  # Sequential(linear, dropout)
-                    assert sub[1] == "0"
-                    leaf = "kernel" if sub[2] == "weight" else "bias"
-                    return tuple(out + [f"attn_{idx}", "to_out", leaf])
-                if sub[-1] in ("weight", "bias"):
-                    leaf = "kernel" if sub[-1] == "weight" else "bias"
-                    return tuple(out + [f"attn_{idx}"] + sub[:-1] + [leaf])
-                return tuple(out + [f"attn_{idx}"] + sub)  # trans_coeff, *_bias, geo_weights
-            else:  # PreNorm(feed-forward)
-                if rest[0] == "norm":
-                    return tuple(
-                        out
-                        + [f"norm_ff_{idx}", "scale" if rest[1] == "weight" else "bias"]
-                    )
-                assert rest[0] == "fn" and rest[1] == "net"
-                dense = {"0": "Dense_0", "3": "Dense_1"}[rest[2]]
-                leaf = "kernel" if rest[3] == "weight" else "bias"
-                return tuple(out + [f"ff_{idx}", dense, leaf])
-        if t == "input_mlp":  # Sequential(SRTLinear, ReLU, SRTLinear) (decoder.py:70-77)
-            j = int(tokens[i + 1])
-            leaf = "kernel" if tokens[i + 2] == "weight" else "bias"
-            return tuple(out + [f"input_mlp{j // 2}", leaf])
-        if t == "frustum_phi":  # Sequential(Linear, ReLU, Linear) (encoder.py:117)
-            j = int(tokens[i + 1])
-            leaf = "kernel" if tokens[i + 2] == "weight" else "bias"
-            return tuple(out + [f"frustum_phi{j // 2}", leaf])
-        if t == "trans_coeff" and i == 0:
-            # FTL latent-transform coefficient: the reference reads an
-            # UNDEFINED self.trans_coeff (models_nvs.py:66) — _repair_reference
-            # registers one; ours is the model-level ftl_trans_coeff param.
-            return ("ftl_trans_coeff",)
-        if t == "render_mlp":
-            j = int(tokens[i + 1])
-            name = f"render_mlp{j // 2}" if j // 2 < 4 else "render_mlp_out"
-            leaf = "kernel" if tokens[i + 2] == "weight" else "bias"
-            return tuple(out + [name, leaf])
-        if t in ("weight", "bias") and i == len(tokens) - 1:
-            return tuple(out + ["kernel" if t == "weight" else "bias"])
-        out.append(t)
-        i += 1
-    return tuple(out)
-
-
-def _to_flax_value(torch_value, flax_leaf, is_kernel):
-    """Orient a torch tensor to the flax leaf's shape.
-
-    Kernels ALWAYS reorient (torch Linear is [out,in], Conv2d OIHW) — shape
-    comparison alone is ambiguous for square Linears. Non-kernel leaves
-    (biases, norm scales, rpe bias tables, trans_coeff) copy as-is.
-    """
-    w = torch_value.detach().cpu().numpy()
-    tgt = flax_leaf.shape
-    if is_kernel:
-        if w.ndim == 2 and w.T.shape == tgt:  # Linear [out,in] -> [in,out]
-            return np.ascontiguousarray(w.T)
-        if w.ndim == 4 and tuple(np.transpose(w, (2, 3, 1, 0)).shape) == tgt:
-            return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))  # OIHW->HWIO
-        raise ValueError(f"cannot orient kernel shape {w.shape} to {tgt}")
-    if w.shape == tgt:
-        return w
-    if w.size == int(np.prod(tgt)):
-        return w.reshape(tgt)
-    raise ValueError(f"cannot orient shape {w.shape} to {tgt}")
-
-
-def transplant(state_dict, flax_params, so3_sign=None):
-    """Build a flax params pytree from a torch state_dict.
-
-    so3_sign: optional dict mapping flax path tuples to per-channel sign
-    arrays (see `so3_sign_vector`) applied to qkv rows / out columns to
-    convert between the two frameworks' real-SH bases.
-    """
-    import jax
-
-    flat = dict(jax.tree_util.tree_flatten_with_path(flax_params)[0])
-
-    def key_of(path):
-        return tuple(p.key for p in path if hasattr(p, "key"))
-
-    flax_leaves = {key_of(p): (p, v) for p, v in flat.items()}
-    out = {}
-    used = set()
-    for tk, tv in state_dict.items():
-        tokens = tk.split(".")
-        fpath = _translate_tokens(tokens)
-        full = ("params",) + fpath
-        if full not in flax_leaves:
-            raise KeyError(
-                f"torch key {tk} -> {full} not found in flax params; "
-                f"close matches: {[k for k in flax_leaves if k[-2:] == full[-2:]][:4]}"
-            )
-        _, leaf = flax_leaves[full]
-        val = _to_flax_value(tv, leaf, is_kernel=full[-1] == "kernel")
-        if so3_sign and full in so3_sign:
-            val = so3_sign[full](val)
-        out[full] = np.asarray(val, dtype=np.float32)
-        used.add(full)
-    missing = set(flax_leaves) - used
-    if missing:
-        raise KeyError(f"flax params never assigned: {sorted(missing)[:8]}")
-
-    def rebuild(path, leaf):
-        return out[key_of(path)]
-
-    return jax.tree_util.tree_map_with_path(rebuild, flax_params)
-
-
-def so3_signs(n_degrees: int) -> np.ndarray:
-    """Per-channel signs for ONE so3 block [d_1 .. d_n] (sum (2l+1) wide):
-    -1 on m<0 channels. Both frameworks tile the so3 head-slice as repeats
-    of this block (reference gta.py:177-200; ops/gta.py)."""
-    parts = []
-    for l in range(1, n_degrees + 1):
-        s = np.ones(2 * l + 1)
-        s[:l] = -1.0
-        parts.append(s)
-    return np.concatenate(parts)
-
-
-def so3_qkv_sign_fns(attn_cfg, heads: int, n_qkv: int):
-    """Return (row_fn, out_col_fn) transforming transplanted weights so the
-    reference's so3 basis maps onto ours.
-
-    row_fn flips sign of output channels of the q/k/v projection lying in
-    so3 slices; out_col_fn flips the matching input columns of to_out.
-    n_qkv: how many qkv sections the projection output stacks (3 for
-    to_qkv, 2 for to_kv, 1 for to_q).
-    """
-    fd = attn_cfg.gta.f_dims
-    head_dim = fd.total
-    st, ed = fd.slice_of("so3")
-    block = so3_signs(attn_cfg.gta.so3)
-    n_rep = (ed - st) // block.size
-    sl = np.ones(head_dim)
-    sl[st:ed] = np.tile(block, n_rep)
-    per_section = np.tile(sl, heads)  # [H*D]
-
-    def row_fn(w):  # flax kernel [in, n_qkv*H*D]
-        signs = np.tile(per_section, n_qkv)
-        return w * signs[None, :] if w.ndim == 2 else w * signs
-
-    def out_col_fn(w):  # flax kernel [H*D, out]
-        return w * per_section[:, None]
-
-    return row_fn, out_col_fn
+from gta_tpu.utils.ref_import import (  # noqa: E402,F401
+    so3_qkv_sign_fns,
+    so3_sign_map,
+    so3_signs,
+    translate_key,
+    transplant,
+)
 
 
 # ---------------------------------------------------------------------------

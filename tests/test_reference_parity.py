@@ -39,7 +39,7 @@ from tests.ref_parity_utils import (
     REFERENCE_DIR,
     batch_to_ref_inputs,
     load_reference,
-    so3_qkv_sign_fns,
+    so3_sign_map,
     transplant,
 )
 
@@ -122,43 +122,6 @@ def _build_pair(run, ref):
     return cfg, model, params, batch_np, batch, ref_model
 
 
-def _so3_sign_map(cfg, params):
-    """Flax-path -> transform map flipping m<0 so3 channels (basis change)."""
-    signs = {}
-
-    def add(prefix, attn_cfg, heads, depth, cross):
-        if not (attn_cfg.is_gta and attn_cfg.gta.f_dims.so3 > 0):
-            return
-        if attn_cfg.gta.elementwise_mul:
-            return  # flattened-rep ablation: reps enter via rep_to_vec, not slices
-        for i in range(depth):
-            if cross:
-                rq, _ = so3_qkv_sign_fns(attn_cfg, heads, 1)
-                rkv, oc = so3_qkv_sign_fns(attn_cfg, heads, 2)
-                signs[prefix + (f"attn_{i}", "to_q", "kernel")] = rq
-                signs[prefix + (f"attn_{i}", "to_kv", "kernel")] = rkv
-            else:
-                r3, oc = so3_qkv_sign_fns(attn_cfg, heads, 3)
-                signs[prefix + (f"attn_{i}", "to_qkv", "kernel")] = r3
-            signs[prefix + (f"attn_{i}", "to_out", "kernel")] = oc
-
-    add(
-        ("params", "encoder", "transformer"),
-        cfg.model.encoder.attn,
-        cfg.model.encoder.heads,
-        cfg.model.encoder.num_att_blocks,
-        cross=False,
-    )
-    add(
-        ("params", "decoder", "allocation_transformer", "transformer"),
-        cfg.model.decoder.attn,
-        cfg.model.decoder.heads,
-        cfg.model.decoder.num_att_blocks,
-        cross=True,
-    )
-    return signs
-
-
 @pytest.mark.slow
 @pytest.mark.parametrize("run,tol", CONFIGS, ids=[c[0].split("runs/")[1] for c in CONFIGS])
 def test_forward_parity(run, tol, ref):
@@ -166,7 +129,7 @@ def test_forward_parity(run, tol, ref):
     cfg, model, params, batch_np, batch, ref_model = _build_pair(run, ref)
 
     params = transplant(
-        ref_model.state_dict(), params, so3_sign=_so3_sign_map(cfg, params)
+        ref_model.state_dict(), params, so3_sign=so3_sign_map(cfg, params)
     )
 
     pred, _ = model.apply(params, batch, True)
@@ -219,7 +182,7 @@ def test_gradient_parity(run, ref):
     same model in both frameworks."""
     torch = ref["torch"]
     cfg, model, params, batch_np, batch, ref_model = _build_pair(run, ref)
-    sign_map = _so3_sign_map(cfg, params)
+    sign_map = so3_sign_map(cfg, params)
     params = transplant(ref_model.state_dict(), params, so3_sign=sign_map)
 
     tgt = np.asarray(batch_np.target_pixels, dtype=np.float32)
