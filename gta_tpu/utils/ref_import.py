@@ -385,7 +385,7 @@ def so3_sign_map(cfg, params) -> Dict[Tuple[str, ...], Callable]:
 _SCALAR_KEYS = ("epoch_it", "it", "t", "loss_val_best", "run_id")
 
 
-def load_reference_pt(path: str):
+def load_reference_pt(path: str, trusted: bool = False):
     """Read a reference `model.pt` (checkpoint.py:21-35 format).
 
     Returns (param_sd, opt_sd, scalars):
@@ -394,10 +394,25 @@ def load_reference_pt(path: str):
                  the reference optimizer indexes params by, train.py:211-215);
       opt_sd   — the torch optimizer state_dict or None;
       scalars  — the non-module entries (it / epoch_it / t / ...).
+
+    trusted: the default safe loader (weights_only=True) rejects anything
+    but tensors/primitives; checkpoints written by older torch versions may
+    carry e.g. numpy scalars that need full unpickling — which can execute
+    arbitrary code, so it is an explicit opt-in (`--trusted`), never a
+    silent fallback.
     """
     import torch
 
-    raw = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        raw = torch.load(path, map_location="cpu", weights_only=not trusted)
+    except Exception as e:
+        if trusted:
+            raise
+        raise RuntimeError(
+            f"safe (weights_only) load of {path} failed: {e}\n"
+            "If this checkpoint comes from a source you trust, re-run with "
+            "--trusted (full unpickling can execute code embedded in the file)."
+        ) from e
     param_sd = {}
     for module in ("encoder", "decoder"):
         if module not in raw:
@@ -456,33 +471,43 @@ def _restore_opt_state(opt_state, mu_tree, nu_tree, count: int):
     def fix(s):
         if isinstance(s, optax.ScaleByAdamState):
             return s._replace(count=c, mu=mu_tree, nu=nu_tree)
-        if isinstance(s, (tuple, list)) and not hasattr(s, "_fields"):
+        if hasattr(s, "_fields"):
+            # namedtuple wrapper state (masked/MultiSteps/...): recurse into
+            # fields so a nested Adam state is still found, and stamp any
+            # step counter with the imported count
+            rep = {f: fix(getattr(s, f)) for f in s._fields}
+            if "count" in s._fields:
+                rep["count"] = c
+            return s._replace(**rep)
+        if isinstance(s, (tuple, list)):
             return type(s)(fix(x) for x in s)
-        if hasattr(s, "_fields") and "count" in getattr(s, "_fields", ()):
-            return s._replace(count=c)
         return s
 
     return fix(opt_state)
 
 
-def _shrunk_init_cfg(cfg):
-    """Shrink data shapes for the throwaway init batch (param shapes are
-    input-shape-independent — proven by the parity suite transplanting
-    between full-config reference modules and small-shape flax inits on
-    all 21 configs)."""
+def shrink_data(data_cfg):
+    """Shrink data shapes while keeping every structural knob — used for
+    the throwaway init batch here (param shapes are input-shape-independent
+    — proven by the parity suite transplanting between full-config
+    reference modules and small-shape flax inits on all 21 configs) and by
+    the cross-framework parity tests for speed."""
     import dataclasses
 
     return dataclasses.replace(
-        cfg,
-        data=dataclasses.replace(
-            cfg.data,
-            height=48,
-            width=64,
-            downsample=0,
-            num_points=24,
-            num_views=max(cfg.data.num_input_views + cfg.data.num_target_views, 5),
-        ),
+        data_cfg,
+        height=48,
+        width=64,
+        downsample=0,
+        num_points=24,
+        num_views=max(data_cfg.num_input_views + data_cfg.num_target_views, 5),
     )
+
+
+def _shrunk_init_cfg(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, data=shrink_data(cfg.data))
 
 
 def import_reference_checkpoint(
@@ -492,6 +517,7 @@ def import_reference_checkpoint(
     import_optimizer: bool = True,
     seed: int = 0,
     name: str = "latest",
+    trusted: bool = False,
 ):
     """Convert a reference `model.pt` into a gta-tpu orbax checkpoint under
     `<out_dir>/ckpts/<name>/` that train.py auto-resumes from (same config).
@@ -506,7 +532,7 @@ def import_reference_checkpoint(
     from gta_tpu.train.trainer import Trainer
 
     cfg = load_config(config_path)
-    param_sd, opt_sd, ref_scalars = load_reference_pt(pt_path)
+    param_sd, opt_sd, ref_scalars = load_reference_pt(pt_path, trusted=trusted)
 
     icfg = _shrunk_init_cfg(cfg)
     trainer = Trainer(icfg)
@@ -522,11 +548,16 @@ def import_reference_checkpoint(
     opt_state = trainer.tx.init(params)
     if import_optimizer and opt_sd is not None:
         mu_sd, nu_sd, count = _moment_dicts(param_sd, opt_sd)
-        # first moment transforms like the weight (orientation + so3 signs);
-        # second moment is an elementwise square — orientation only.
-        mu = transplant(mu_sd, params, so3_sign=sign_map, fill_missing=fill)
-        nu = transplant(nu_sd, params, so3_sign=None, fill_missing=fill)
         import jax
+
+        # first moment transforms like the weight (orientation + so3 signs);
+        # second moment is an elementwise square — orientation only. The
+        # fill target is a ZEROS tree: a param absent from the checkpoint
+        # (ftl_trans_coeff) was never stepped, so its moments must be zero
+        # — filling from `params` would inject the weight value as momentum.
+        zeros = jax.tree.map(np.zeros_like, params)
+        mu = transplant(mu_sd, zeros, so3_sign=sign_map, fill_missing=fill)
+        nu = transplant(nu_sd, zeros, so3_sign=None, fill_missing=fill)
 
         nu = jax.tree.map(lambda x: np.abs(x), nu)  # guard: squares stay >= 0
         opt_state = _restore_opt_state(opt_state, mu, nu, count or it)
@@ -596,6 +627,7 @@ def export_reference_checkpoint(
     name: str = "latest",
     optimizer_order_from: Optional[str] = None,
     seed: int = 0,
+    trusted: bool = False,
 ) -> Dict[str, Any]:
     """Convert a gta-tpu checkpoint (`<run_dir>/ckpts/<name>/`) into a
     reference-framework `model.pt` loadable by the reference's
@@ -643,7 +675,7 @@ def export_reference_checkpoint(
 
     adam = _find_adam_state(state.opt_state)
     if optimizer_order_from is not None and adam is not None:
-        order_sd, _, _ = load_reference_pt(optimizer_order_from)
+        order_sd, _, _ = load_reference_pt(optimizer_order_from, trusted=trusted)
         names = list(order_sd.keys())
         mu_sd = _flax_to_torch_sd(adam.mu, sign_map)
         nu_sd = _flax_to_torch_sd(adam.nu, None)
@@ -654,8 +686,10 @@ def export_reference_checkpoint(
                 raise KeyError(f"order template param {tk} not in exported moments")
             opt_state[i] = {
                 "step": torch.tensor(count),
-                "exp_avg": torch.from_numpy(np.ascontiguousarray(mu_sd[tk])),
-                "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(nu_sd[tk])),
+                # copy: _flax_to_torch_sd returns non-writable views of jax
+                # buffers for leaves that needed no reorientation
+                "exp_avg": torch.from_numpy(np.array(mu_sd[tk], copy=True)),
+                "exp_avg_sq": torch.from_numpy(np.array(nu_sd[tk], copy=True)),
             }
         # hyperparameter group template from a live torch optimizer, so the
         # key set matches whatever torch version loads this file
@@ -663,7 +697,7 @@ def export_reference_checkpoint(
         opt_cls = torch.optim.Adam if cfg.training.noadamW else torch.optim.AdamW
         kw = {"lr": float(cfg.training.lr)}
         if not cfg.training.noadamW:
-            kw["weight_decay"] = 0.01
+            kw["weight_decay"] = float(cfg.training.weight_decay)
         group = dict(opt_cls([dummy], **kw).state_dict()["param_groups"][0])
         group["params"] = list(range(len(names)))
         out["optimizer"] = {"state": opt_state, "param_groups": [group]}

@@ -27,6 +27,12 @@ def main():
         default=None,
         help="a reference model.pt of the same architecture; enables AdamW moment export",
     )
+    p.add_argument(
+        "--trusted",
+        action="store_true",
+        help="allow full unpickling of the .pt (can execute embedded code; "
+        "needed for checkpoints from old torch versions carrying numpy scalars)",
+    )
     args = p.parse_args()
 
     from gta_tpu.runtime import setup
@@ -40,6 +46,7 @@ def main():
         args.out_pt,
         name=args.name,
         optimizer_order_from=args.optimizer_order_from,
+        trusted=args.trusted,
     )
     print(f"Exported {args.run_dir}/ckpts/{args.name} -> {args.out_pt} (it={scalars.get('it')})")
 

@@ -31,6 +31,12 @@ def main():
         action="store_true",
         help="skip the AdamW moment transplant (fresh optimizer state)",
     )
+    p.add_argument(
+        "--trusted",
+        action="store_true",
+        help="allow full unpickling of the .pt (can execute embedded code; "
+        "needed for checkpoints from old torch versions carrying numpy scalars)",
+    )
     args = p.parse_args()
 
     from gta_tpu.runtime import setup
@@ -44,6 +50,7 @@ def main():
         args.outdir,
         import_optimizer=not args.no_optimizer,
         name=args.name,
+        trusted=args.trusted,
     )
     print(
         f"Imported {args.model_pt} -> {args.outdir}/ckpts/{args.name} "

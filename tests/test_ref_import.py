@@ -20,12 +20,12 @@ import pytest
 
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
-import optax
 
 from gta_tpu.data.synthetic import SyntheticScenes, collate
 from gta_tpu.train.checkpoint import Checkpointer
 from gta_tpu.train.trainer import Trainer
 from gta_tpu.utils.ref_import import (
+    _find_adam_state,
     _flax_to_torch_sd,
     _moment_dicts,
     export_reference_checkpoint,
@@ -130,17 +130,7 @@ def test_import_reference_checkpoint(ref, ref_ckpt, tmp_path):
     # 2) the AdamW moments came over: find the ScaleByAdamState and compare
     # one concrete leaf against the torch moment (conv kernels reorient
     # OIHW->HWIO, so a match here exercises the orientation map too)
-    def find_adam(s):
-        if isinstance(s, optax.ScaleByAdamState):
-            return s
-        if isinstance(s, (tuple, list)):
-            for x in s:
-                r = find_adam(x)
-                if r is not None:
-                    return r
-        return None
-
-    adam = find_adam(state.opt_state)
+    adam = _find_adam_state(state.opt_state)
     assert adam is not None and int(adam.count) == 3
     param_sd, opt_sd, _ = load_reference_pt(pt_path)
     mu_sd, nu_sd, count = _moment_dicts(param_sd, opt_sd)

@@ -83,16 +83,9 @@ CONFIGS = [
 ]
 
 
-def _small_data(cfg_data):
-    """Shrink shapes for test speed; keep every structural knob."""
-    return dataclasses.replace(
-        cfg_data,
-        height=48,
-        width=64,
-        downsample=0,
-        num_points=24,
-        num_views=max(cfg_data.num_input_views + cfg_data.num_target_views, 5),
-    )
+# the canonical shape-shrink recipe lives with the importer so the tests
+# exercise the same template the migration tool builds against
+from gta_tpu.utils.ref_import import shrink_data as _small_data  # noqa: E402
 
 
 def _make_batch(cfg, n=2):
