@@ -275,11 +275,19 @@ def with_ring_attention(cfg: "Config") -> "Config":
     (parallel/ring.ring_gta_attention) in both encoder and decoder.
 
     Only the production GTA variant rings (euclid/elementwise ablations
-    keep the oracle — parallel/ring.py's documented scope)."""
+    keep the oracle — parallel/ring.py's documented scope). Modules that
+    return the last attention map keep the oracle too: the ring's online
+    softmax never materializes the [Tq, Tk] matrix the mask readout needs
+    (same guard as with_flash_attention)."""
 
     def upd(mod_cfg):
         attn = mod_cfg.attn
-        if attn.is_gta and not attn.gta.euclid_sim and not attn.gta.elementwise_mul:
+        if (
+            attn.is_gta
+            and not attn.gta.euclid_sim
+            and not attn.gta.elementwise_mul
+            and not getattr(mod_cfg, "return_last_attmap", False)
+        ):
             return dataclasses.replace(mod_cfg, attn=dataclasses.replace(attn, ring=True))
         return mod_cfg
 

@@ -1,8 +1,9 @@
 """T(2) planar-translation representations (homogeneous 3x3 matrices).
 
-Reference semantics: gta.py:72-89 (make_T2mats). The inverse is analytic
-([[I, -coord], [0, 1]]) — no linear solve needed, unlike the reference's
-torch.linalg.inv (encoder.py:213).
+Reference semantics: gta.py:72-89 (make_T2mats) — translation in the
+BOTTOM ROW (see make_t2_mats). The inverse is analytic (translation by
+-coord, i.e. [[I2, 0], [-coord, 1]]) — no linear solve needed, unlike the
+reference's torch.linalg.inv (encoder.py:213).
 """
 
 from __future__ import annotations

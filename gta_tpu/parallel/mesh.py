@@ -56,14 +56,36 @@ def shard_batch(batch, mesh: Mesh):
     its LOCAL batch shard (the loader shards by process_index, reference
     multishapenet.py:110-138), so the global array is assembled from
     process-local data — device_put would wrongly treat the local shard as
-    the global value."""
+    the global value. Device-resident leaves (--device-data generates the
+    batch in-jit) are assembled with device-to-device slices instead of
+    `np.asarray` — a host round-trip per step would reintroduce exactly
+    the ingest bottleneck on-device generation exists to remove."""
     sh = batch_sharding(mesh)
     if jax.process_count() > 1:
-        return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
-            batch,
-        )
+        def assemble(x):
+            if isinstance(x, jax.Array):
+                return _global_from_local_device_array(x, sh)
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+        return jax.tree.map(assemble, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def _global_from_local_device_array(x, sh: NamedSharding):
+    """Assemble a globally-sharded array from this process's device-resident
+    local batch rows (every process holds the same number of rows)."""
+    global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+    idx_map = sh.addressable_devices_indices_map(global_shape)
+    spans = {
+        d: (s[0].start or 0, s[0].stop if s[0].stop is not None else global_shape[0])
+        for d, s in idx_map.items()
+    }
+    base = min(start for start, _ in spans.values())
+    shards = [
+        jax.device_put(x[start - base : stop - base], d)
+        for d, (start, stop) in spans.items()
+    ]
+    return jax.make_array_from_single_device_arrays(global_shape, sh, shards)
 
 
 def local_data(x) -> np.ndarray:

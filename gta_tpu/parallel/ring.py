@@ -92,27 +92,7 @@ def ring_rep_specs(reps: GeomReps, k_axis: str):
     tables (so2_k/t2_k rotor tuples, axis 1 = token) shard over the ring;
     everything query-side stays local to the device that owns the queries.
     """
-    from jax.sharding import PartitionSpec as P
-
-    def spec_like(name, val):
-        if val is None:
-            return None
-        shard = name.endswith("_k")
-        if isinstance(val, tuple):
-            n = (
-                P(None, k_axis)
-                if name.startswith("so2")
-                else P(None, k_axis, None, None)
-            )
-            return tuple((n if shard else P()) for _ in val)
-        return P(*((None, k_axis) + (None,) * (val.ndim - 2))) if shard else P()
-
-    return GeomReps(
-        **{
-            f.name: spec_like(f.name, getattr(reps, f.name))
-            for f in reps.__dataclass_fields__.values()
-        }
-    )
+    return _full_rep_specs(reps, None, k_axis, shard_q=False)
 
 
 def _full_rep_specs(reps: GeomReps, data: str, seq: str, shard_q: bool):
@@ -137,6 +117,25 @@ def _full_rep_specs(reps: GeomReps, data: str, seq: str, shard_q: bool):
             for f in reps.__dataclass_fields__.values()
         }
     )
+
+
+def shapes_divide(mesh, values, specs) -> bool:
+    """True iff every array axis a PartitionSpec assigns to a mesh axis
+    divides that mesh axis size — shard_map hard-errors otherwise, so the
+    in-model sharded paths fall back to replicated execution when this is
+    False (odd-sized eval/visualize/render batches, --speed_test splits)."""
+    sizes = dict(mesh.shape)
+
+    def ok(val, spec):
+        if val is None or spec is None:
+            return True
+        for d, axis in enumerate(spec):
+            if axis is not None and val.shape[d] % sizes[axis]:
+                return False
+        return True
+
+    flags = jax.tree.map(ok, values, specs, is_leaf=lambda x: x is None)
+    return all(jax.tree.leaves(flags))
 
 
 def ring_gta_sharded(
@@ -172,7 +171,8 @@ def ring_gta_sharded(
     from gta_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 
     mesh = jsh.get_abstract_mesh()
-    if SEQ_AXIS not in getattr(mesh, "axis_names", ()) or mesh.shape[SEQ_AXIS] == 1:
+
+    def oracle():
         import functools
 
         from gta_tpu.ops.attention import dot_product_attention
@@ -181,12 +181,22 @@ def ring_gta_sharded(
         out, _ = gta_attention(q, k, v, attn_fn, reps, args, trans_coeff)
         return out
 
+    if SEQ_AXIS not in getattr(mesh, "axis_names", ()) or mesh.shape[SEQ_AXIS] == 1:
+        return oracle()
+
     from jax.sharding import PartitionSpec as P
 
     q_spec = P(DATA_AXIS, MODEL_AXIS, SEQ_AXIS if self_att else None, None)
     kv_spec = P(DATA_AXIS, MODEL_AXIS, SEQ_AXIS, None)
     rep_specs = _full_rep_specs(reps, DATA_AXIS, SEQ_AXIS, shard_q=self_att)
     tc_spec = None if trans_coeff is None else P()
+
+    # odd-sized batches (eval fallback, visualize, render chunks) can't ride
+    # the in-model shard_map; run them replicated instead of crashing
+    if not shapes_divide(
+        mesh, (q, k, v, reps), (q_spec, kv_spec, kv_spec, rep_specs)
+    ):
+        return oracle()
 
     fn = jax.shard_map(
         lambda q, k, v, reps, tc: ring_gta_attention(

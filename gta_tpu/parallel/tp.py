@@ -83,7 +83,7 @@ def fused_gta_attention_tp(
 
     from gta_tpu.ops.gta_pallas import fused_gta_attention
     from gta_tpu.parallel.mesh import DATA_AXIS
-    from gta_tpu.parallel.ring import _full_rep_specs
+    from gta_tpu.parallel.ring import _full_rep_specs, shapes_divide
 
     mesh = jsh.get_abstract_mesh()
     if MODEL_AXIS not in getattr(mesh, "axis_names", ()) or mesh.shape[MODEL_AXIS] == 1:
@@ -92,6 +92,12 @@ def fused_gta_attention_tp(
     qkv_spec = P(DATA_AXIS, MODEL_AXIS, None, None)
     rep_specs = _full_rep_specs(reps, DATA_AXIS, None, shard_q=False)
     tc_spec = None if trans_coeff is None else P()
+    # odd-sized batches (eval fallback, visualize, render chunks) can't ride
+    # the in-model shard_map; run them replicated instead of crashing
+    if not shapes_divide(
+        mesh, (q, k, v, reps), (qkv_spec, qkv_spec, qkv_spec, rep_specs)
+    ):
+        return fused_gta_attention(q, k, v, reps, args, trans_coeff, scale, interpret)
     fn = jax.shard_map(
         lambda q, k, v, reps, tc: fused_gta_attention(
             q, k, v, reps, args, tc, scale, interpret

@@ -74,6 +74,19 @@ state = state.replace(
 train_global = shard_batch(local_batch(0), mesh)
 state, metrics = trainer.train_step(state, train_global, jax.random.PRNGKey(1))
 
+# the --device-data path hands shard_batch device-resident local leaves;
+# assembly must avoid the host round-trip yet produce the identical global
+# array (rows AND sharding) as the host-path assembly
+import jax.numpy as jnp
+
+from gta_tpu.parallel.mesh import local_data
+
+dev_global = shard_batch(jax.tree.map(jnp.asarray, local_batch(0)), mesh)
+device_assembly_ok = all(
+    a.sharding == b.sharding and np.array_equal(local_data(a), local_data(b))
+    for a, b in zip(jax.tree.leaves(dev_global), jax.tree.leaves(train_global))
+)
+
 # two global eval batches (items 8..16 and 16..24), host-sharded like the
 # loader's shard_index=process_index path
 val_batches = [local_batch(8), local_batch(16)]
@@ -85,6 +98,7 @@ result = {
     "eval": {k: float(v) for k, v in eval_metrics.items()},
     "process_count": jax.process_count(),
     "device_count": jax.device_count(),
+    "device_assembly_ok": bool(device_assembly_ok),
 }
 if pid == 0:
     with open(outfile, "w") as f:

@@ -63,6 +63,7 @@ def test_two_process_matches_single(tmp_path):
     assert double["process_count"] == 2 and double["device_count"] == 8
     assert single["process_count"] == 1
 
+    assert single["device_assembly_ok"] and double["device_assembly_ok"]
     np.testing.assert_allclose(double["loss"], single["loss"], rtol=1e-5)
     np.testing.assert_allclose(double["grad_norm"], single["grad_norm"], rtol=1e-4)
     for k, v in single["eval"].items():

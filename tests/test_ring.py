@@ -225,3 +225,31 @@ def test_ring_training_step_matches_dense():
             )
     finally:
         jax.set_mesh(prev)
+
+
+def test_ring_falls_back_on_non_divisible_batch():
+    """Batches whose size doesn't divide the mesh data axis (odd eval
+    batches, visualize's min(6, host_batch), --speed_test splits) must run
+    replicated instead of crashing inside the in-model shard_map
+    (parallel/ring.shapes_divide guard)."""
+    from gta_tpu.config import with_ring_attention
+    from gta_tpu.parallel.mesh import make_mesh
+    from gta_tpu.train.trainer import Trainer
+    from tests.test_trainer import make_batch, tiny_config
+
+    cfg = tiny_config(batch_size=4)
+    batch = make_batch(cfg, 3)  # 3 rows: not divisible by n_data=2
+
+    dense = Trainer(cfg)
+    state = dense.init_state(batch, seed=0)
+    want, _ = dense.model.apply(state.params, batch, True)
+
+    mesh = make_mesh(n_data=2, n_seq=2)
+    prev = jax.sharding.get_mesh()
+    jax.set_mesh(mesh)
+    try:
+        ring_tr = Trainer(with_ring_attention(cfg), mesh=mesh)
+        got, _ = ring_tr.model.apply(state.params, batch, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    finally:
+        jax.set_mesh(prev)
