@@ -236,6 +236,10 @@ class TrainConfig:
     decay_rate: float = 0.16
     max_it: int = 1000000
     mixed_prec: bool = False
+    # parsed for schema parity; deliberately a no-op here. The reference's
+    # GradScaler (trainer.py:30,75) guards fp16 underflow — our mixed
+    # precision is bf16 (fp32 exponent range), which needs no loss scaling,
+    # and no run config sets this key.
     loss_scale: bool = False
     noadamW: bool = False
     weight_decay: float = 0.01
@@ -248,6 +252,12 @@ class TrainConfig:
     model_selection_metric: str = "psnr"
     model_selection_mode: str = "maximize"
     flash: str = "auto"  # 'auto' (TPU only) | 'on' | 'off' | 'fused'
+    # Gradient accumulation: split each global batch into this many equal
+    # microbatches inside the jit step (lax.scan) and apply one optimizer
+    # update on the averaged grads. Peak activation memory scales with the
+    # microbatch, so a single chip can train at any reference global batch
+    # (the reference only reaches large batches by adding GPUs, train.py:110).
+    grad_accum: int = 1
 
 
 def with_flash_attention(cfg: "Config", fused: bool = False) -> "Config":
@@ -451,6 +461,7 @@ def _parse_training(t: dict) -> TrainConfig:
         model_selection_mode=t.get("model_selection_mode", "maximize"),
         flash=t.get("flash", "auto") if not isinstance(t.get("flash"), bool)
         else ("on" if t.get("flash") else "off"),
+        grad_accum=int(t.get("grad_accum", 1)),
     )
 
 

@@ -128,11 +128,40 @@ class Trainer:
         mse = jnp.mean((pred - target) ** 2, axis=(1, 2))
         return jnp.mean(mse), mse
 
+    def _grads_fn(self, params, batch: SceneBatch, rng):
+        """value_and_grad of the loss; with training.grad_accum > 1 the batch
+        is split into equal microbatches scanned inside the jit (one compiled
+        body, grads averaged) so peak activation memory scales with the
+        microbatch, not the global batch. Equal-size microbatches make the
+        mean-of-means exactly the full-batch mean; dropout keys are folded
+        per microbatch index so masks stay independent."""
+        accum = self.cfg.training.grad_accum
+        if accum <= 1:
+            return jax.value_and_grad(self._loss_fn, has_aux=True)(params, batch, rng)
+        b = batch.target_pixels.shape[0]
+        if b % accum:
+            raise ValueError(f"batch size {b} not divisible by grad_accum={accum}")
+
+        def split(x):
+            return x.reshape((accum, b // accum) + x.shape[1:])
+
+        micro = jax.tree.map(split, batch)
+
+        def body(g_sum, xs):
+            mb, i = xs
+            (loss, mse), g = jax.value_and_grad(self._loss_fn, has_aux=True)(
+                params, mb, jax.random.fold_in(rng, i)
+            )
+            return jax.tree.map(jnp.add, g_sum, g), (loss, mse)
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        g_sum, (losses, mses) = jax.lax.scan(body, zeros, (micro, jnp.arange(accum)))
+        grads = jax.tree.map(lambda g: g / accum, g_sum)
+        return (jnp.mean(losses), mses.reshape(-1)), grads
+
     def _train_step_impl(self, state: TrainState, batch: SceneBatch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        (loss, mse), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
+        (loss, mse), grads = self._grads_fn(state.params, batch, rng)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if self._state_constraints is not None:

@@ -108,6 +108,15 @@ def main():
         default=None,
         help="override training.validate_every (eval cadence in steps)",
     )
+    parser.add_argument(
+        "--accum",
+        type=int,
+        default=None,
+        help="gradient accumulation: scan this many equal microbatches per "
+        "optimizer step inside the jit — peak activation memory scales with "
+        "batch_size/accum, so one chip can train at any global batch "
+        "(the reference only reaches large batches by adding GPUs)",
+    )
     args = parser.parse_args()
 
     if not os.path.exists(args.config):
@@ -172,6 +181,10 @@ def main():
         cfg = dataclasses.replace(
             cfg,
             training=dataclasses.replace(cfg.training, validate_every=args.validate_every),
+        )
+    if args.accum is not None:
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training, grad_accum=args.accum)
         )
     t_cfg = cfg.training
     global_batch = t_cfg.batch_size
