@@ -442,6 +442,11 @@ def _parse_data(d: dict) -> DataConfig:
 
 
 def _parse_training(t: dict) -> TrainConfig:
+    grad_accum = int(t.get("grad_accum", 1))
+    if grad_accum < 1:
+        # A 0/negative value would silently hit the no-accumulation branch
+        # in trainer._grads_fn instead of erroring — fail the ingest loudly.
+        raise ValueError(f"training.grad_accum must be >= 1, got {grad_accum}")
     return TrainConfig(
         batch_size=int(t.get("batch_size", 32)),
         lr=float(t.get("lr", 1e-4)),
@@ -461,7 +466,7 @@ def _parse_training(t: dict) -> TrainConfig:
         model_selection_mode=t.get("model_selection_mode", "maximize"),
         flash=t.get("flash", "auto") if not isinstance(t.get("flash"), bool)
         else ("on" if t.get("flash") else "off"),
-        grad_accum=int(t.get("grad_accum", 1)),
+        grad_accum=grad_accum,
     )
 
 

@@ -143,7 +143,13 @@ class Trainer:
             raise ValueError(f"batch size {b} not divisible by grad_accum={accum}")
 
         def split(x):
-            return x.reshape((accum, b // accum) + x.shape[1:])
+            # Strided split: microbatch i takes rows i, i+accum, 2*accum+i, …
+            # A contiguous block split would make each microbatch a contiguous
+            # row range living on only a subset of data-axis devices, forcing
+            # XLA to reshard every scan iteration under DP; the stride keeps
+            # every microbatch spread over all data devices. Equal-size
+            # microbatches keep mean-of-means == full-batch mean either way.
+            return x.reshape((b // accum, accum) + x.shape[1:]).swapaxes(0, 1)
 
         micro = jax.tree.map(split, batch)
 

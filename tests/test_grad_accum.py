@@ -26,6 +26,10 @@ def _with_accum(cfg, accum):
 
 
 def _leaf_allclose(a, b, rtol=2e-4, atol=2e-6):
+    # Structure must match before zipping leaves — otherwise extra trailing
+    # leaves in either tree would be silently skipped and the comparison
+    # could vacuously pass.
+    assert jax.tree.structure(a) == jax.tree.structure(b)
     for pa, (path, pb) in zip(
         jax.tree.leaves(a), jax.tree_util.tree_leaves_with_path(b)
     ):
@@ -41,6 +45,9 @@ def test_grad_accum_yaml_ingest():
     cfg = config_from_dict({"training": {"grad_accum": 4}})
     assert cfg.training.grad_accum == 4
     assert config_from_dict({}).training.grad_accum == 1
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="grad_accum"):
+            config_from_dict({"training": {"grad_accum": bad}})
 
 
 def test_grad_accum_matches_full_batch():

@@ -183,6 +183,8 @@ def main():
             training=dataclasses.replace(cfg.training, validate_every=args.validate_every),
         )
     if args.accum is not None:
+        if args.accum < 1:
+            parser.error(f"--accum must be >= 1, got {args.accum}")
         cfg = dataclasses.replace(
             cfg, training=dataclasses.replace(cfg.training, grad_accum=args.accum)
         )
@@ -234,6 +236,10 @@ def main():
             shard_count=n_hosts,
         )
     vis_n = min(6, host_batch) or 1
+    if eval_ds is not None and hasattr(eval_ds, "__len__"):
+        # --max-eval can truncate the eval split below the vis batch size;
+        # an oversized vis batch + drop_last loader would yield no batch.
+        vis_n = max(1, min(vis_n, len(eval_ds)))
     data_vis = None
 
     mesh = make_mesh(n_model=args.n_model, n_seq=args.n_seq)
