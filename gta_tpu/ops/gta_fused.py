@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -70,6 +71,39 @@ from gta_tpu.ops.reps import GeomReps
 MAX_TK = 2048  # whole-KV-in-VMEM limit (same as ops/flash_core)
 MAX_BQ = 1024  # largest single-block query span
 SPLIT_BQ = 512  # sub-block size for larger aligned views (must divide)
+# experiment knob: prefer one whole-tensor q block (all views) up to this
+# token count — K/V are loaded+transformed once per batch element instead
+# of once per q block (see _q_blocking)
+_WHOLE_BQ = int(os.environ.get("GTA_FUSED_WHOLE_BQ", "0"))
+
+# trace-time FLOP accounting for benchmarks: XLA's cost analysis treats
+# Pallas custom-calls as opaque (0 FLOPs), so bench.py enables TRACE_FLOPS
+# around its train-step trace and adds these analytic counts to the
+# XLA-visible total (see bench.py mfu).
+TRACE_FLOPS = False
+FLOP_TRACE: list = []
+
+
+def _kernel_flops(st: "_Static", B: int, Tq: int, Tk: int, C: int):
+    """(fwd, bwd) MXU FLOPs of one fused-kernel call, from the matmul
+    structure of _fwd_kernel/_bwd_kernel (2 FLOPs per MAC)."""
+    core = 2.0 * Tq * Tk * C
+    tq_cc = 2.0 * Tq * C * C
+    tk_cc = 2.0 * Tk * C * C
+    fwd = 2 * core  # s = qt@kt^T, o = p@vt
+    bwd = 5 * core  # s recompute, dp, dqt, dkt, dvt (o_att read from store_z)
+    if st.has_mq:
+        fwd += tq_cc
+        bwd += 2 * tq_cc  # dq chain + dmq
+    if st.has_mk:
+        n_sides = 2 if st.v_transform else 1
+        fwd += n_sides * tk_cc
+        bwd += 2 * n_sides * tk_cc  # dk/dv chains + dmk accumulations
+    if st.has_mo:
+        fwd += tq_cc
+        bwd += 2 * tq_cc  # do chain + dmo
+    scale = float(B) * st.heads
+    return fwd * scale, bwd * scale
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +123,12 @@ class _Static:
     has_rotq: bool
     has_rotk: bool
     interpret: bool
+    # Stash the pre-untransform attention output z = softmax(s) @ vt as a
+    # second forward output. The backward needs it only for dmo (the
+    # trans_coeff chain); recomputing it there costs a full core-scale
+    # [bq,Tk]x[Tk,C] matmul per head while storing it is O(T*D) HBM traffic
+    # (~0.3 ms vs ~8 ms at MSN-so3 decoder shapes, profiled r5).
+    store_z: bool = False
 
 
 def _dot(a, b, dims, mxu_dtype):
@@ -167,8 +207,13 @@ def _transform_sides(refs, h, st: _Static, mxu):
 
 
 def _fwd_kernel(*refs, st: _Static):
-    (q_ref, k_ref, v_ref, mq_ref, mk_ref, mo_ref,
-     cq_ref, sq_ref, ck_ref, sk_ref, o_ref) = refs
+    if st.store_z:
+        (q_ref, k_ref, v_ref, mq_ref, mk_ref, mo_ref,
+         cq_ref, sq_ref, ck_ref, sk_ref, o_ref, z_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, mq_ref, mk_ref, mo_ref,
+         cq_ref, sq_ref, ck_ref, sk_ref, o_ref) = refs
+        z_ref = None
     mxu = jnp.float32 if st.interpret else jnp.bfloat16
     C = q_ref.shape[-1] // st.heads
     for h in range(st.heads):
@@ -177,6 +222,8 @@ def _fwd_kernel(*refs, st: _Static):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         o = _dot(p, vt, ((1,), (0,)), mxu) / jnp.sum(p, axis=-1, keepdims=True)
+        if st.store_z:
+            z_ref[0, :, h * C : (h + 1) * C] = o.astype(z_ref.dtype)
         if st.v_transform:
             if st.has_mo:
                 o = _per_view(o, [mo_ref[0, vi] for vi in range(st.nqb)], st.nqb, mxu)
@@ -187,7 +234,7 @@ def _fwd_kernel(*refs, st: _Static):
 
 def _bwd_kernel(*refs, st: _Static):
     (q_ref, k_ref, v_ref, mq_ref, mk_ref, mo_ref,
-     cq_ref, sq_ref, ck_ref, sk_ref, g_ref,
+     cq_ref, sq_ref, ck_ref, sk_ref, g_ref, z_ref,
      dq_ref, dk_ref, dv_ref, dmq_ref, dmk_ref, dmo_ref) = refs
     mxu = jnp.float32 if st.interpret else jnp.bfloat16
     n = pl.program_id(1)
@@ -223,7 +270,9 @@ def _bwd_kernel(*refs, st: _Static):
         if st.v_transform:
             dz = _rot_fwd(cq_ref[0], sq_ref[0], g) if st.has_rotq else g
             if st.has_mo:
-                o_att = _dot(p, vt, ((1,), (0,)), mxu)
+                # z (= softmax @ vt) was stashed by the forward (store_z);
+                # reading it replaces a core-scale recompute matmul.
+                o_att = z_ref[0, :, cols]
                 do = jnp.concatenate(
                     [
                         _dot(dz[vi * tnq : (vi + 1) * tnq], mo_ref[0, vi], ((1,), (1,)), mxu)
@@ -332,12 +381,13 @@ def _fwd_call(st: _Static, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk):
     Tk = kB.shape[1]
     C = D // st.heads
     grid, in_specs, qs, _, _, _, _ = _specs(st, B, Tq, Tk, D, C)
+    o_shape = jax.ShapeDtypeStruct(qB.shape, qB.dtype)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, st=st),
         grid=grid,
         in_specs=in_specs,
-        out_specs=qs,
-        out_shape=jax.ShapeDtypeStruct(qB.shape, qB.dtype),
+        out_specs=(qs, qs) if st.store_z else qs,
+        out_shape=(o_shape, o_shape) if st.store_z else o_shape,
         compiler_params=None if st.interpret else pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024
         ),
@@ -345,15 +395,16 @@ def _fwd_call(st: _Static, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk):
     )(qB, kB, vB, mq, mk, mo, cq, sq, ck, sk)
 
 
-def _bwd_call(st: _Static, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk, g):
+def _bwd_call(st: _Static, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk, g, z):
     B, Tq, D = qB.shape
     Tk = kB.shape[1]
     C = D // st.heads
     grid, in_specs, qs, ks, mqs, mks, mos = _specs(st, B, Tq, Tk, D, C)
+    zs = qs if st.store_z else pl.BlockSpec((1, 1, 1), lambda b, n, iq: (0, 0, 0))
     dq, dk, dv, dmq, dmk, dmo = pl.pallas_call(
         functools.partial(_bwd_kernel, st=st),
         grid=grid,
-        in_specs=in_specs + [qs],
+        in_specs=in_specs + [qs, zs],
         out_specs=(qs, ks, ks, mqs, mks, mos),
         out_shape=(
             jax.ShapeDtypeStruct(qB.shape, jnp.float32),
@@ -367,24 +418,29 @@ def _bwd_call(st: _Static, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk, g):
             vmem_limit_bytes=96 * 1024 * 1024
         ),
         interpret=st.interpret,
-    )(qB, kB, vB, mq, mk, mo, cq, sq, ck, sk, g)
+    )(qB, kB, vB, mq, mk, mo, cq, sq, ck, sk, g, z)
     return dq, dk, dv, dmq, dmk, dmo
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _core(st: _Static, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk):
-    return _fwd_call(st, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk)
+    out = _fwd_call(st, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk)
+    return out[0] if st.store_z else out
 
 
 def _core_fwd(st, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk):
     out = _fwd_call(st, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk)
-    return out, (qB, kB, vB, mq, mk, mo, cq, sq, ck, sk)
+    if st.store_z:
+        out, z = out
+    else:
+        z = jnp.zeros((1, 1, 1), qB.dtype)
+    return out, (qB, kB, vB, mq, mk, mo, cq, sq, ck, sk, z)
 
 
 def _core_bwd(st, res, g):
-    qB, kB, vB, mq, mk, mo, cq, sq, ck, sk = res
+    qB, kB, vB, mq, mk, mo, cq, sq, ck, sk, z = res
     dq, dk, dv, dmq, dmk, dmo = _bwd_call(
-        st, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk, g.astype(qB.dtype)
+        st, qB, kB, vB, mq, mk, mo, cq, sq, ck, sk, g.astype(qB.dtype), z
     )
     # rotor tables are functions of data coordinates only — zero cotangents
     return (
@@ -425,6 +481,8 @@ def _q_blocking(Tq: int, nq: int):
     total fits a block.
     """
     tnq = Tq // nq
+    if Tq % 8 == 0 and Tq <= _WHOLE_BQ:
+        return nq, Tq
     if tnq % 8 == 0:
         if tnq <= MAX_BQ:
             return 1, tnq
@@ -513,7 +571,10 @@ def fused_gta_attention_v2(
         has_rotq=reps.so2_q is not None,
         has_rotk=reps.so2_k is not None,
         interpret=interpret,
+        store_z=bool(args.v_transform) and Bo is not None,
     )
+    if TRACE_FLOPS:
+        FLOP_TRACE.append(_kernel_flops(st, B, Tq, Tk, C))
     qB = jnp.swapaxes(q, 1, 2).reshape(B, Tq, H * C)
     kB = jnp.swapaxes(k, 1, 2).reshape(B, Tk, H * C)
     vB = jnp.swapaxes(v, 1, 2).reshape(B, Tk, H * C)
