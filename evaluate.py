@@ -49,17 +49,15 @@ def main():
         cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, path=args.datapath))
     if args.synthetic or (cfg.data.dataset != "synthetic" and not cfg.data.path):
         print("No datapath — evaluating on synthetic scenes.")
-        h, w = cfg.data.height, cfg.data.width
-        ds = cfg.data.downsample
+        # Keep the native height/width AND `downsample`: SyntheticScenes
+        # renders inputs at the downsampled training resolution but
+        # full-scale targets at native resolution, matching the reference
+        # protocol (evaluate.py:61,90-91 — e.g. CLEVR-TR scores 240x320
+        # frames from a model trained on 120x160 inputs). Training runs
+        # (train.py --synthetic / --device-data) instead rewrite the config
+        # to the downsampled dims, which this mirrors for the inputs.
         cfg = dataclasses.replace(
-            cfg,
-            data=dataclasses.replace(
-                cfg.data,
-                dataset="synthetic",
-                height=h // (2**ds) if ds else h,
-                width=w // (2**ds) if ds else w,
-                downsample=0,
-            ),
+            cfg, data=dataclasses.replace(cfg.data, dataset="synthetic")
         )
 
     out_dir = args.outdir or os.path.dirname(args.config)
@@ -71,8 +69,8 @@ def main():
     # the reference scores full frames, evaluate.py:91). Prefer the
     # dataset's own h/w; fall back to the config dims (MSN-style datasets
     # without input downsampling).
-    H = getattr(dataset, "h", cfg.data.height)
-    W = getattr(dataset, "w", cfg.data.width)
+    H = getattr(dataset, "target_h", None) or getattr(dataset, "h", cfg.data.height)
+    W = getattr(dataset, "target_w", None) or getattr(dataset, "w", cfg.data.width)
 
     item0 = dataset[0] if hasattr(dataset, "__getitem__") else next(iter(dataset))
     batch0 = jax.tree.map(jnp.asarray, collate([item0]))

@@ -70,6 +70,14 @@ class SyntheticScenes:
         ds = cfg.downsample
         self.h = cfg.height // (2**ds) if ds else cfg.height
         self.w = cfg.width // (2**ds) if ds else cfg.width
+        # Full-scale protocol resolution (reference evaluate.py:61,90-91 with
+        # clevr_tr.py's downsample semantics): `downsample` shrinks only the
+        # *input* views; full-scale test targets are scored at the dataset's
+        # native height/width (e.g. CLEVR-TR trains downsample-1 inputs at
+        # 120x160 but evaluates 240x320 target frames).
+        self.target_h, self.target_w = (
+            (cfg.height, cfg.width) if (full_scale and ds) else (self.h, self.w)
+        )
         self.coord = make_2dcoord(self.h, self.w)
         step = cfg.downsample_input_coord
         stride = 2**step
@@ -78,6 +86,33 @@ class SyntheticScenes:
 
     def __len__(self):
         return self.num_scenes
+
+    def _native_targets(self, cam_pos, extrinsics, spheres, idxs):
+        """Render the given views at the dataset-native (pre-`downsample`)
+        resolution. Full-scale protocol (reference evaluate.py:61,90-91 with
+        clevr_tr.py's downsample semantics): `downsample` shrinks only the
+        *input* views; test targets are scored at native resolution. Called
+        after every RNG draw in __getitem__ so the full-scale split sees the
+        exact same scene stream as the training-resolution split."""
+        h, w = self.target_h, self.target_w
+        centers, radii, colors = spheres
+        native = None
+        if self.use_native:
+            from gta_tpu.data.native import render_views
+
+            native = render_views(
+                np.ascontiguousarray(cam_pos[idxs]),
+                np.ascontiguousarray(extrinsics[idxs]),
+                centers.astype(np.float32), radii.astype(np.float32),
+                colors.astype(np.float32), h, w,
+            )
+        if native is not None:
+            return native
+        rays = np.stack(
+            [camera_rays_from_extrinsic(extrinsics[i], cam_pos[i], w, h) for i in idxs]
+        )
+        imgs = np.stack([_render(cam_pos[i], rays[j], spheres) for j, i in enumerate(idxs)])
+        return imgs, rays
 
     def __getitem__(self, idx: int) -> dict:
         cfg = self.cfg
@@ -149,13 +184,27 @@ class SyntheticScenes:
         input_rays = rays_c[input_idx].astype(np.float32)
         input_camera_pos = pos_c[input_idx].astype(np.float32)
 
+        full_native = self.full_scale and (self.target_h, self.target_w) != (self.h, self.w)
+
         if not cfg.return_transform:
             # Non-transform mode (clevr_tr.py:313-327): actual target-view
             # rays/positions, flattened across views; geometry enters the
             # model through rays, not relative transforms.
-            t_rays = rays_c[target_idx].reshape(-1, 3).astype(np.float32)
-            t_pos = np.repeat(pos_c[target_idx], self.h * self.w, 0).astype(np.float32)
-            t_pix = imgs[target_idx].reshape(-1, 3)
+            if full_native:
+                t_imgs, t_cam_rays = self._native_targets(cam_pos, extrinsics, spheres, target_idx)
+                t_rays_v = (
+                    transform_points(t_cam_rays, canon, translate=False)
+                    if cfg.canonical_view else t_cam_rays
+                )
+                t_rays = t_rays_v.reshape(-1, 3).astype(np.float32)
+                t_pos = np.repeat(
+                    pos_c[target_idx], self.target_h * self.target_w, 0
+                ).astype(np.float32)
+                t_pix = t_imgs.reshape(-1, 3)
+            else:
+                t_rays = rays_c[target_idx].reshape(-1, 3).astype(np.float32)
+                t_pos = np.repeat(pos_c[target_idx], self.h * self.w, 0).astype(np.float32)
+                t_pix = imgs[target_idx].reshape(-1, 3)
             if not self.full_scale:
                 sel = rng.choice(len(t_pix), size=cfg.num_points, replace=False)
                 t_pix, t_rays, t_pos = t_pix[sel], t_rays[sel], t_pos[sel]
@@ -175,10 +224,25 @@ class SyntheticScenes:
         # target rays are the canonical view's grid re-used per target view
         # (clevr_tr.py:275-311): pixels come from target images, rays from
         # the canonical camera — the transform carries the view change.
-        base_rays = input_rays[0].reshape(-1, 3)
-        base_pos = np.broadcast_to(input_camera_pos[0], (self.h * self.w, 3))
-        base_coord = self.coord.reshape(-1, 2)
-        tgt_pixels = imgs[target_idx].reshape(cfg.num_target_views, -1, 3)
+        if full_native:
+            t_imgs, _ = self._native_targets(cam_pos, extrinsics, spheres, target_idx)
+            rays0 = camera_rays_from_extrinsic(
+                extrinsics[input_idx[0]], cam_pos[input_idx[0]],
+                self.target_w, self.target_h,
+            )
+            if cfg.canonical_view:
+                rays0 = transform_points(rays0, canon, translate=False)
+            base_rays = rays0.reshape(-1, 3).astype(np.float32)
+            base_pos = np.broadcast_to(
+                input_camera_pos[0], (self.target_h * self.target_w, 3)
+            )
+            base_coord = make_2dcoord(self.target_h, self.target_w).reshape(-1, 2)
+            tgt_pixels = t_imgs.reshape(cfg.num_target_views, -1, 3)
+        else:
+            base_rays = input_rays[0].reshape(-1, 3)
+            base_pos = np.broadcast_to(input_camera_pos[0], (self.h * self.w, 3))
+            base_coord = self.coord.reshape(-1, 2)
+            tgt_pixels = imgs[target_idx].reshape(cfg.num_target_views, -1, 3)
 
         if not self.full_scale:
             ppv = points_per_view(cfg.num_points, cfg.num_target_views)
