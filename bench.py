@@ -27,6 +27,9 @@ configs report vs_baseline: null rather than inherit its error bars.
 import argparse
 import dataclasses
 import json
+import os
+import re
+import subprocess
 import sys
 import time
 
@@ -43,8 +46,14 @@ from gta_tpu.data.synthetic import SyntheticScenes, collate
 from gta_tpu.train.trainer import Trainer
 
 ESTIMATED_A100_RAYS_PER_SEC = 205_000.0
+# Measured sustained bf16 matmul peak on THIS chip (v5e behind the tunnel):
+# chained 8192^3 matmuls between host fetches, see docs/TODO.md. Using the
+# measured number rather than the 197 TFLOP/s datasheet peak makes `mfu`
+# a statement about this deployment, independent of the A100 anchor.
+MEASURED_BF16_PEAK_FLOPS = 159e12
 WARMUP = 3
 ITERS = 20
+REPEATS = 3
 
 # config key -> (yaml, synthetic data overrides, default batch, metric name,
 #                has_baseline_anchor)
@@ -73,11 +82,48 @@ BENCH_CONFIGS = {
 }
 
 
+def _contending_pids():
+    """PIDs of OTHER heavy jobs sharing this box/TPU (the stale-run failure
+    mode: a leftover nohup'd train.py multiplexes the tunneled chip and slows
+    every bench step ~10x, silently corrupting the headline number)."""
+    me = os.getpid()
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,args"], capture_output=True, text=True, timeout=10
+        ).stdout
+    except Exception:
+        return []
+    pids = []
+    for line in out.splitlines()[1:]:
+        pid, _, cmd = line.strip().partition(" ")
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        if "python" in cmd and re.search(
+            r"train(_dit)?\.py|profile_ops|bench\.py|evaluate\.py|check_flash_parity",
+            cmd,
+        ):
+            pids.append(int(pid))
+    return pids
+
+
+def _xla_flops(lowered_compiled):
+    """Total FLOPs XLA attributes to the step (excludes Pallas custom-calls,
+    which XLA treats as opaque — those are added analytically)."""
+    try:
+        ca = lowered_compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="clevrtr", choices=sorted(BENCH_CONFIGS))
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--repeats", type=int, default=REPEATS)
     ap.add_argument(
         "--bf16", action="store_true",
         help="bf16 compute policy (PSNR parity demonstrated; reference CLEVR config is fp32, so the default headline stays fp32)",
@@ -99,6 +145,15 @@ def main():
         training = dataclasses.replace(training, flash=args.flash)
     cfg = dataclasses.replace(cfg, data=data, training=training)
 
+    contention = _contending_pids()
+    if contention:
+        print(
+            f"# WARNING: other heavy processes share this device/box: "
+            f"pids={contention} — the number below is NOT a clean measurement "
+            f"(kill by exact PID and re-run)",
+            file=sys.stderr,
+        )
+
     ds = SyntheticScenes(cfg.data, "train", num_scenes=batch)
     batch_data = jax.tree.map(jnp.asarray, collate([ds[i] for i in range(batch)]))
 
@@ -106,19 +161,37 @@ def main():
     state = trainer.init_state(batch_data)
     rng = jax.random.PRNGKey(0)
 
-    for _ in range(WARMUP):
-        state, metrics = trainer.train_step(state, batch_data, rng)
-    float(metrics["loss"])  # host fetch: hard sync
+    # count Pallas-kernel FLOPs at trace time (XLA's cost model can't see
+    # inside custom-calls); enable after init_state so only the train step
+    # is counted
+    from gta_tpu.ops import gta_fused
 
-    # Time ITERS chained steps between two host syncs. Per-step
-    # block_until_ready is unreliable over proxied/tunneled devices (it can
-    # return before device completion); the state dependency chain plus a
-    # final host fetch measures true sustained throughput.
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = trainer.train_step(state, batch_data, rng)
-    float(metrics["loss"])
-    step = (time.perf_counter() - t0) / iters
+    gta_fused.FLOP_TRACE.clear()
+    gta_fused.TRACE_FLOPS = True
+    try:
+        for _ in range(WARMUP):
+            state, metrics = trainer.train_step(state, batch_data, rng)
+        float(metrics["loss"])  # host fetch: hard sync
+    finally:
+        gta_fused.TRACE_FLOPS = False
+    pallas_flops = sum(f + b for f, b in gta_fused.FLOP_TRACE) or None
+
+    # Time `iters` chained steps between two host syncs, `repeats` times.
+    # Per-step block_until_ready is unreliable over proxied/tunneled devices
+    # (it can return before device completion); the state dependency chain
+    # plus a final host fetch measures true sustained throughput. The median
+    # over repeats defends against tunnel-latency spread; the reported
+    # spread makes session-to-session variance visible in the JSON itself.
+    windows = []
+    for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = trainer.train_step(state, batch_data, rng)
+        float(metrics["loss"])
+        windows.append((time.perf_counter() - t0) / iters)
+    step = float(np.median(windows))
+    spread_pct = 100.0 * (max(windows) - min(windows)) / step if len(windows) > 1 else 0.0
+
     from gta_tpu.data.sampling import points_per_view
 
     # actual rays supervised per scene (per-view count is tile-aligned)
@@ -126,6 +199,18 @@ def main():
         cfg.data.num_points, cfg.data.num_target_views
     )
     rays_per_sec = batch * rays_per_scene / step
+
+    # MFU against the MEASURED sustained bf16 peak of this chip: XLA-visible
+    # FLOPs from compile-time cost analysis (cache-hit recompile) plus the
+    # analytic count for the fused Pallas kernels.
+    xla_flops = _xla_flops(trainer._train_step.lower(state, batch_data, rng).compile())
+    flops_per_step = (xla_flops or 0.0) + (pallas_flops or 0.0)
+    mfu = (
+        round(flops_per_step / step / MEASURED_BF16_PEAK_FLOPS, 4)
+        if flops_per_step and jax.devices()[0].platform != "cpu"
+        else None
+    )
+
     print(
         json.dumps(
             {
@@ -137,13 +222,20 @@ def main():
                     if anchored
                     else None
                 ),
+                "ms_per_step": round(step * 1e3, 2),
+                "repeats": len(windows),
+                "spread_pct": round(spread_pct, 2),
+                "mfu": mfu,
+                "flops_per_step": round(flops_per_step) if flops_per_step else None,
+                "contention": contention or None,
             }
         )
     )
     print(
-        f"# device={jax.devices()[0].device_kind} step={step*1e3:.1f}ms "
-        f"batch={batch} rays/step={batch * rays_per_scene} "
-        f"mixed_prec={cfg.training.mixed_prec}",
+        f"# device={jax.devices()[0].device_kind} windows_ms="
+        f"{[round(w * 1e3, 1) for w in windows]} batch={batch} "
+        f"rays/step={batch * rays_per_scene} mixed_prec={cfg.training.mixed_prec} "
+        f"xla_flops={xla_flops} pallas_flops={pallas_flops}",
         file=sys.stderr,
     )
 
