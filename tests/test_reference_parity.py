@@ -60,11 +60,13 @@ def ref(tmp_path_factory):
 # their extra trig/matmul chains.
 CONFIGS = [
     ("runs/clevrtr/GTA/gta", 1e-4),
+    ("runs/clevrtr/GTA/gta_cnoise0.1", 1e-4),
     ("runs/clevrtr/GTA/gta_t2", 1e-4),
     ("runs/clevrtr/GTA/gta_euclid", 2e-4),
     ("runs/clevrtr/GTA/gta_novtrnsfm", 1e-4),
     ("runs/clevrtr/GTA/gta_sharedfreqs", 1e-4),
     ("runs/clevrtr/GTA/gta_no2demb", 1e-4),
+    ("runs/clevrtr/GTA/gta_no3demb", 1e-4),
     ("runs/clevrtr/GTA/gta_so3", 2e-4),
     ("runs/clevrtr/otherPEs/srt", 1e-4),
     ("runs/clevrtr/otherPEs/ape", 1e-4),
@@ -72,10 +74,16 @@ CONFIGS = [
     ("runs/clevrtr/otherPEs/gbt", 1e-4),
     ("runs/clevrtr/otherPEs/rpe", 1e-4),
     ("runs/clevrtr/otherPEs/repast", 1e-4),
+    ("runs/clevrtr/otherPEs/repast_cnoise0.1", 1e-4),
     ("runs/clevrtr/otherPEs/elementwise_mul", 1e-4),
     ("runs/clevrtr/otherPEs/frustum_posemb_dmax20", 1e-4),
     ("runs/clevrtr/otherPEs/ftl_rope", 1e-4),
     ("runs/msn/GTA/gta", 2e-4),
+    ("runs/msn/GTA/gta_t2", 2e-4),
+    ("runs/msn/GTA/gta_no2demb", 2e-4),
+    ("runs/msn/GTA/gta_no3demb", 2e-4),
+    ("runs/msn/GTA/gta_novtrnsfm", 2e-4),
+    ("runs/msn/GTA/gta_sharedfreqs", 2e-4),
     ("runs/msn/GTA/gta_so3", 2e-4),
     ("runs/msn/GTA/gta_so3_euclid", 2e-4),
     ("runs/msn/otherPEs/srt", 1e-4),
