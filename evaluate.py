@@ -121,6 +121,10 @@ def main():
                     W,
                     target_transform=np.asarray(batch.target_transforms[:, v]),
                     chunk=16384,
+                    # full-scale items carry the native-resolution canonical
+                    # grid (inputs may be downsampled to a smaller grid)
+                    rays=np.asarray(batch.target_rays[:, v]),
+                    cam=np.asarray(batch.target_camera_pos[:, v]),
                 )  # [1, H, W, 3]
                 gt = np.asarray(batch.target_pixels[:, v]).reshape(1, H, W, 3)
             else:

@@ -278,6 +278,8 @@ class Trainer:
         target_transform: Optional[jnp.ndarray] = None,
         chunk: int = 4096,
         mesh=None,
+        rays: Optional[np.ndarray] = None,
+        cam: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Full-frame render: encode once, decode rays in fixed-size chunks
         (static shapes => one compile), reference trainer.py:137-181.
@@ -323,13 +325,28 @@ class Trainer:
         if target_transform is None:
             target_transform = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4))
         transform_mode = batch.target_transforms is not None
-        if transform_mode:
+        if rays is not None:
+            # caller-supplied ray grid (full-scale eval: `downsample` shrinks
+            # only the inputs, so the native-resolution canonical grid comes
+            # from the full-scale item's target_rays, not the input grid —
+            # reference evaluate.py:90-94 protocol)
+            rays = np.asarray(rays).reshape(B, -1, 3)
+            cam = np.asarray(cam).reshape(B, -1, 3)
+            if cam.shape[1] == 1:
+                cam = np.broadcast_to(cam, (B, height * width, 3))
+        elif transform_mode:
             # canonical grid rays + relative transform carry the view change
             rays = np.asarray(batch.input_rays[:, 0]).reshape(B, -1, 3)
             cam = np.broadcast_to(
                 np.asarray(batch.input_camera_pos[:, 0])[:, None],
                 (B, height * width, 3),
             )
+            if rays.shape[1] != height * width:
+                raise ValueError(
+                    f"render_image at {height}x{width} but the canonical input "
+                    f"grid has {rays.shape[1]} rays (input downsampling?) — "
+                    "pass the full-scale item's target_rays/cam explicitly"
+                )
         else:
             # geometry enters through the rays: build the novel view's ray
             # grid in the canonical frame from its extrinsic
