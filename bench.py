@@ -86,7 +86,19 @@ def _contending_pids():
     """PIDs of OTHER heavy jobs sharing this box/TPU (the stale-run failure
     mode: a leftover nohup'd train.py multiplexes the tunneled chip and slows
     every bench step ~10x, silently corrupting the headline number)."""
-    me = os.getpid()
+    skip = set()
+    pid = os.getpid()
+    for _ in range(16):  # self + ancestor wrappers (timeout, shells, drivers)
+        skip.add(pid)
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                pid = int(
+                    next(l for l in f if l.startswith("PPid:")).split()[1]
+                )
+        except Exception:
+            break
+        if pid <= 1:
+            break
     try:
         out = subprocess.run(
             ["ps", "-eo", "pid,args"], capture_output=True, text=True, timeout=10
@@ -96,7 +108,7 @@ def _contending_pids():
     pids = []
     for line in out.splitlines()[1:]:
         pid, _, cmd = line.strip().partition(" ")
-        if not pid.isdigit() or int(pid) == me:
+        if not pid.isdigit() or int(pid) in skip:
             continue
         if "python" in cmd and re.search(
             r"train(_dit)?\.py|profile_ops|bench\.py|evaluate\.py|check_flash_parity",
